@@ -1,0 +1,223 @@
+"""Typed configuration for the whole engine.
+
+The reference scatters its knobs between per-sequence YAML files
+(`/root/reference/Examples/RGB-D/TUM2.yaml`, parsed at
+`/root/reference/src/Tracking.cc:61-172`) and hard-coded constants
+(semantic label whitelists `Semantic.cc:10-11`, cluster tolerance
+`ObjectTypes.cc:716`, association thresholds `ObjectMatcher.cc:430,783,789`,
+merge overlap `Map.cc:64`). Here every knob is a field of one frozen
+dataclass tree so runs are reproducible and sweepable.
+
+Static-shape capacities (N_KP, MAX_POINTS, ...) are TPU-specific: all device
+state lives in fixed-size slabs with validity masks, so XLA compiles each
+kernel once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera intrinsics + stereo baseline.
+
+    Mirrors the `Camera.*` block of the reference YAMLs (`Tracking.cc:68-130`).
+    Defaults are TUM freiburg2 (`Examples/RGB-D/TUM2.yaml` values).
+    """
+
+    fx: float = 520.908620
+    fy: float = 521.007327
+    cx: float = 325.141442
+    cy: float = 249.701764
+    # radial/tangential distortion k1 k2 p1 p2 k3
+    dist: Tuple[float, float, float, float, float] = (
+        0.231222, -0.784899, -0.003257, -0.000105, 0.917205)
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    # stereo baseline times fx (reference `Camera.bf`)
+    bf: float = 40.0
+    # depth threshold multiplier: close/far point split (`ThDepth`)
+    th_depth: float = 40.0
+    # RGB-D depth map scaling (`DepthMapFactor`)
+    depth_map_factor: float = 5208.0
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    """ORB extractor settings (`ORBextractor.*` YAML block, `Tracking.cc:132-170`)."""
+
+    n_features: int = 1000          # total keypoint budget across levels
+    scale_factor: float = 1.2       # pyramid scale (ORBextractor.cc:1107)
+    n_levels: int = 8
+    ini_th_fast: int = 20           # FAST threshold, primary
+    min_th_fast: int = 7            # FAST threshold, fallback
+    cell_size: int = 32             # spatial-suppression cell (ref uses 30px
+                                    # cells + quadtree; we use per-cell top-k)
+    patch_size: int = 31            # BRIEF/orientation patch
+    half_patch: int = 15
+    edge_threshold: int = 19        # border margin for keypoints
+    fast_ring_radius: int = 3       # FAST-9/16 circle radius
+    fast_arc_len: int = 9           # contiguous arc length for FAST-9
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor matching thresholds (ORBmatcher.h TH_LOW/TH_HIGH/HISTO_LENGTH)."""
+
+    th_low: int = 50
+    th_high: int = 100
+    histo_length: int = 30          # rotation-consistency histogram bins
+    nn_ratio: float = 0.9           # Lowe ratio used in BoW/epipolar searches
+    search_radius_th: float = 7.0   # projection-window radius multiplier (tracking)
+    reloc_radius_th: float = 10.0
+
+
+@dataclass(frozen=True)
+class SemanticConfig:
+    """Instance-mask ingestion (`Semantic.cc`, `Frame.cc:240-414`)."""
+
+    min_confidence: float = 0.7     # `MinSemanticConfidence` yaml key
+    # per-dataset whitelists (Semantic.cc:10-11). TUM: bottle(39), cup(41),
+    # chair(56), potted plant(58), tv(62), laptop(63->62), mouse(64),
+    # remote(65), keyboard(66), book(73), teddy bear(77), person(0).
+    valid_labels_tum: Tuple[int, ...] = (0, 39, 41, 56, 58, 62, 63, 64, 65, 66, 73, 77)
+    valid_labels_kitti: Tuple[int, ...] = (2,)   # car
+    max_instances: int = 16         # static per-frame instance slab
+    min_kps_rgbd: int = 5           # min member keypoints (Frame.cc:240-384)
+    min_kps_stereo: int = 10
+    mask_margin: int = 10           # 20x20 interior window half-size (Frame.cc:266)
+    hsv_bins: Tuple[int, int, int] = (30, 32, 32)   # H,S,V bins (Frame.cc:388-414)
+
+
+@dataclass(frozen=True)
+class ObjectConfig:
+    """Object landmark lifecycle + association (ObjectTypes.cc / ObjectMatcher.cc / Map.cc)."""
+
+    # association gates (ObjectMatcher.cc:430-435, :782-794)
+    hsv_sim_min: float = 0.8
+    iou2d_min: float = 0.5
+    mean_dist_max_indoor: float = 0.3
+    mean_dist_max_outdoor: float = 5.0
+    min_dist_max: float = 0.1
+    # map regularization (Map.cc:47-65)
+    merge_overlap_min: float = 0.4
+    # outlier rejection (ObjectTypes.cc:117-138, :661-764)
+    cluster_tolerance_indoor: float = 0.1
+    cluster_tolerance_outdoor: float = 1.0
+    big_object_points: int = 3000   # >N → plain 3-sigma (TEST5), else TEST7
+    small_cluster_frac: float = 0.1
+    small_cluster_min_n: int = 15
+    sigma_gate: float = 3.0
+    min_points_valid: int = 5       # Object3D invalid if <5 pts after 5 updates
+    min_updates_for_validity: int = 5
+    label_prob_min: float = 0.5     # MapPoint label vote gate (ObjectTypes.cc:143-148)
+    # static capacities
+    max_points_per_object: int = 4096
+    history_capacity: int = 64      # observation history ring (centers/poses/hists)
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Front-end policy (Tracking.cc)."""
+
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30      # = fps by default (Tracking.cc:1242)
+    min_inliers_ok: int = 30             # pose considered good (Tracking.cc:~)
+    min_inliers_reloc: int = 50
+    kf_ref_ratio_stereo: float = 0.75    # NeedNewKeyFrame tracked/ref ratios
+    kf_ref_ratio_many_kf: float = 0.90
+    close_point_depth_n: int = 100       # stereo: need new KF if <100 close pts
+    motion_model_radius: float = 15.0    # projection search window th (stereo 7)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Optimization schedules (Optimizer.cc / ObjectOptimizer.cc)."""
+
+    pose_rounds: int = 4                 # 4 x 10 LM iterations with chi2 regating
+    pose_iters_per_round: int = 10
+    chi2_mono: float = 5.991             # Huber delta^2 mono (2 dof)
+    chi2_stereo: float = 7.815           # stereo (3 dof)
+    local_ba_iters1: int = 5
+    local_ba_iters2: int = 10
+    global_ba_iters: int = 10
+    pose_graph_iters: int = 20
+    lm_lambda_init: float = 1e-4
+    lm_lambda_factor: float = 10.0
+    # semantic optimizer (ObjectOptimizer.cc:624-1240)
+    sem_reproj_gate_px: float = 10.0     # M_semantic inclusion gate
+    sem_min_shift_px: float = 1.0        # skip M_joint edge if <1px from mask
+    # RANSAC
+    ransac_trials: int = 256             # batched hypotheses (vmap)
+    epnp_min_inliers: int = 10
+    sim3_min_inliers: int = 20
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Place recognition + loop closing (KeyFrameDatabase.cc / LoopClosing.cc)."""
+
+    vocab_branching: int = 10
+    vocab_depth: int = 4                 # 10^4 = 10k words (retrained, not DBoW2)
+    covis_consistency_th: int = 3        # consecutive consistent groups
+    min_common_words_ratio: float = 0.8
+    min_score_ratio: float = 0.75
+    covis_weight_min: int = 15           # covisibility edge threshold (KeyFrame.cc:289)
+    sim3_inliers: int = 20
+    total_matches_accept: int = 40
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static slab sizes for the functional map (TPU static shapes)."""
+
+    n_kp: int = 1024                 # per-frame keypoint slab (>= OrbConfig.n_features)
+    max_points: int = 32768          # MapPoint slab
+    max_keyframes: int = 512
+    max_obs_per_kf: int = 1024       # == n_kp (each kp maps to <=1 point)
+    max_objects: int = 64            # Object3D slab
+    max_frames: int = 8192           # trajectory record
+    grid_rows: int = 48              # feature grid (Frame.h:43-44)
+    grid_cols: int = 64
+    local_window_kf: int = 32        # local-BA covisible window
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    orb: OrbConfig = field(default_factory=OrbConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    semantic: SemanticConfig = field(default_factory=SemanticConfig)
+    objects: ObjectConfig = field(default_factory=ObjectConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    caps: CapacityConfig = field(default_factory=CapacityConfig)
+    sensor: str = "rgbd"             # rgbd | stereo | mono
+    indoor: bool = True              # selects indoor/outdoor tolerances
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def tum_rgbd() -> "SlamConfig":
+        return SlamConfig()
+
+    @staticmethod
+    def kitti_stereo() -> "SlamConfig":
+        cam = CameraConfig(
+            fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+            dist=(0.0, 0.0, 0.0, 0.0, 0.0), width=1241, height=376,
+            fps=10.0, bf=386.1448, th_depth=35.0, depth_map_factor=1.0)
+        orb = OrbConfig(n_features=2000)
+        caps = CapacityConfig(n_kp=2048, max_points=65536, max_keyframes=1024)
+        return SlamConfig(camera=cam, orb=orb, caps=caps,
+                          sensor="stereo", indoor=False)

@@ -1,0 +1,231 @@
+"""ORB keypoint extraction: pyramid FAST + spatial selection + rBRIEF.
+
+Parity with `ORBextractor::operator()` (`ORBextractor.cc:1043-1105`): an
+8-level pyramid, a per-level keypoint budget following a geometric series
+(`ORBextractor.cc:435-446`), spatially uniform selection (the reference's
+quadtree `DistributeOctTree`, `ORBextractor.cc:539-763`), intensity-centroid
+orientation (`:454-479`) and 256-bit steered-BRIEF descriptors (`:448-450`).
+
+TPU redesign:
+  * FAST responses are dense maps per level (features/fast.py).
+  * Quadtree distribution -> per-cell top-k: response maps fold into
+    [rows, cols, cell*cell] blocks; argmax per cell + global top-n_l keeps
+    the same spatial-uniformity contract with static shapes.
+  * The descriptor pattern is a seeded random Gaussian pattern (BRIEF's
+    original construction) rather than OpenCV's learned bit_pattern_31 —
+    self-contained data, equivalent matching behavior class.
+  * Orientation + descriptors evaluate for all N keypoints as one batched
+    gather (31x31 patches) + sign comparisons -> bit-packed uint32[8].
+
+Output is a fixed-size keypoint slab (config.caps.n_kp) with a validity
+mask; coordinates are level-0 (scaled-up) pixels as in the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_slam_tpu.features import fast as fast_mod
+from object_slam_tpu.features import pyramid as pyr_mod
+
+
+class Keypoints(NamedTuple):
+    """Fixed-size keypoint slab; invalid entries are masked.
+
+    uv: [N, 2] level-0 pixel coords (x, y), distorted (raw image frame).
+    response: [N]; angle: [N] radians; level: [N] int32; desc: [N, 8] uint32.
+    valid: [N] bool.
+    """
+
+    uv: jnp.ndarray
+    response: jnp.ndarray
+    angle: jnp.ndarray
+    level: jnp.ndarray
+    desc: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def n(self):
+        return self.uv.shape[0]
+
+
+def make_pattern(n_bits: int = 256, patch_radius: int = 13, seed: int = 7):
+    """Seeded Gaussian BRIEF pattern: [n_bits, 4] (y1, x1, y2, x2)."""
+    rng = np.random.RandomState(seed)
+    sigma = patch_radius / 2.0
+    pts = np.clip(rng.randn(n_bits, 4) * sigma, -patch_radius, patch_radius)
+    return jnp.asarray(pts, jnp.float32)
+
+
+def _level_budgets(n_features: int, n_levels: int, scale: float):
+    """Geometric per-level budget (ORBextractor.cc:435-446)."""
+    inv = 1.0 / scale
+    first = n_features * (1 - inv) / (1 - inv ** n_levels)
+    budgets = [int(round(first * inv ** l)) for l in range(n_levels)]
+    budgets[-1] = max(n_features - sum(budgets[:-1]), 0)
+    return budgets
+
+
+def _cell_topk(resp, cell: int, k_per_cell: int):
+    """Per-cell top-k over a [H, W] response map.
+
+    Returns (scores [C], ys [C], xs [C]) with C = rows*cols*k_per_cell.
+    """
+    h, w = resp.shape
+    rows, cols = h // cell, w // cell
+    r = resp[:rows * cell, :cols * cell]
+    r = r.reshape(rows, cell, cols, cell).transpose(0, 2, 1, 3)
+    r = r.reshape(rows, cols, cell * cell)
+    vals, idx = jax.lax.top_k(r, k_per_cell)          # [rows, cols, k]
+    cy = idx // cell
+    cx = idx % cell
+    base_y = (jnp.arange(rows) * cell)[:, None, None]
+    base_x = (jnp.arange(cols) * cell)[None, :, None]
+    ys = (base_y + cy).reshape(-1)
+    xs = (base_x + cx).reshape(-1)
+    return vals.reshape(-1), ys, xs
+
+
+def _ic_angle(img, ys, xs, radius: int = 15):
+    """Intensity-centroid orientation for keypoints at integer (ys, xs).
+
+    Batched gather of (2r+1)^2 patches; circular mask as in ORBextractor's
+    umax table (ORBextractor.cc:454-479).
+    """
+    d = jnp.arange(-radius, radius + 1)
+    dy = d[:, None]
+    dx = d[None, :]
+    circ = (dy * dy + dx * dx) <= radius * radius     # [P, P]
+    h, w = img.shape
+    yy = jnp.clip(ys[:, None, None] + dy[None], 0, h - 1)
+    xx = jnp.clip(xs[:, None, None] + dx[None], 0, w - 1)
+    patches = img[yy, xx] * circ[None]                # [N, P, P]
+    m10 = jnp.sum(patches * dx[None], axis=(1, 2))
+    m01 = jnp.sum(patches * dy[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def _brief_descriptors(img, ys, xs, angles, pattern):
+    """Steered BRIEF: rotate the pattern by each keypoint's angle, compare
+    blurred intensities, pack 256 bits into uint32[8]."""
+    c, s = jnp.cos(angles), jnp.sin(angles)           # [N]
+    y1, x1, y2, x2 = pattern[:, 0], pattern[:, 1], pattern[:, 2], pattern[:, 3]
+
+    def rot(py, px):
+        ry = s[:, None] * px[None] + c[:, None] * py[None]
+        rx = c[:, None] * px[None] - s[:, None] * py[None]
+        return ry, rx                                  # [N, 256]
+
+    r1y, r1x = rot(y1, x1)
+    r2y, r2x = rot(y2, x2)
+    h, w = img.shape
+
+    def sample(ry, rx):
+        yy = jnp.clip(jnp.round(ys[:, None] + ry).astype(jnp.int32), 0, h - 1)
+        xx = jnp.clip(jnp.round(xs[:, None] + rx).astype(jnp.int32), 0, w - 1)
+        return img[yy, xx]
+
+    bits = (sample(r1y, r1x) < sample(r2y, r2x)).astype(jnp.uint32)  # [N, 256]
+    n = bits.shape[0]
+    words = bits.reshape(n, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+class OrbExtractor:
+    """Compiled ORB pipeline for a fixed image geometry.
+
+    Usage: ex = OrbExtractor(cfg); kps = ex(image_f32)  # [H, W] grayscale
+    """
+
+    def __init__(self, cfg, height: int | None = None, width: int | None = None):
+        self.cfg = cfg
+        o = cfg.orb
+        self.h = height or cfg.camera.height
+        self.w = width or cfg.camera.width
+        self.n_kp = cfg.caps.n_kp
+        self.shapes = pyr_mod.level_shapes(self.h, self.w, o.n_levels,
+                                           o.scale_factor)
+        self.budgets = _level_budgets(o.n_features, o.n_levels, o.scale_factor)
+        # rescale budgets to fill the slab exactly
+        total = sum(self.budgets)
+        if total < self.n_kp:
+            self.budgets[0] += self.n_kp - total
+        self.pattern = make_pattern()
+        self._fn = jax.jit(self._extract)
+
+    def __call__(self, img) -> Keypoints:
+        return self._fn(img)
+
+    def _extract(self, img) -> Keypoints:
+        o = self.cfg.orb
+        levels = pyr_mod.build_pyramid(img, o.n_levels, o.scale_factor)
+        outs = []
+        for l, lvl_img in enumerate(levels):
+            n_l = self.budgets[l]
+            if n_l <= 0:
+                continue
+            resp_hi = fast_mod.detect(lvl_img, float(o.ini_th_fast),
+                                      o.fast_arc_len, border=o.edge_threshold)
+            resp_lo = fast_mod.detect(lvl_img, float(o.min_th_fast),
+                                      o.fast_arc_len, border=o.edge_threshold)
+            # prefer high-threshold corners; low-threshold ones rank below
+            # every high one (the per-cell fallback of ORBextractor.cc:790-830)
+            resp = jnp.where(resp_hi > 0, resp_lo + 1e4, resp_lo)
+
+            cell = max(o.cell_size // max(int(o.scale_factor ** l * 0.75), 1), 8)
+            k_per_cell = max(1, min(4, math.ceil(
+                n_l / max((lvl_img.shape[0] // cell) * (lvl_img.shape[1] // cell), 1))))
+            scores, ys, xs = _cell_topk(resp, cell, k_per_cell)
+            vals, sel = jax.lax.top_k(scores, min(n_l, scores.shape[0]))
+            ys, xs = ys[sel], xs[sel]
+            valid = vals > 0
+
+            blurred = pyr_mod.gaussian_blur(lvl_img)
+            ang = _ic_angle(lvl_img, ys, xs, radius=o.half_patch)
+            desc = _brief_descriptors(blurred, ys, xs, ang, self.pattern)
+            scale = o.scale_factor ** l
+            uv = jnp.stack([xs.astype(jnp.float32) * scale,
+                            ys.astype(jnp.float32) * scale], -1)
+            outs.append(Keypoints(
+                uv=uv,
+                response=jnp.where(valid, vals, 0.0),
+                angle=ang,
+                level=jnp.full(ys.shape, l, jnp.int32),
+                desc=desc,
+                valid=valid))
+
+        kp = Keypoints(*[jnp.concatenate([getattr(x, f) for x in outs], axis=0)
+                         for f in Keypoints._fields])
+        # pad/trim to the static slab size
+        n = kp.uv.shape[0]
+        if n < self.n_kp:
+            pad = self.n_kp - n
+
+            def padf(a):
+                return jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+
+            kp = Keypoints(*[padf(getattr(kp, f)) for f in Keypoints._fields])
+        elif n > self.n_kp:
+            # keep the strongest n_kp overall
+            _, sel = jax.lax.top_k(jnp.where(kp.valid, kp.response, -1.0),
+                                   self.n_kp)
+            kp = Keypoints(*[getattr(kp, f)[sel] for f in Keypoints._fields])
+        return kp
+
+    def scale_factors(self):
+        o = self.cfg.orb
+        return jnp.asarray([o.scale_factor ** l for l in range(o.n_levels)],
+                           jnp.float32)
+
+    def inv_level_sigma2(self):
+        sf = np.asarray([self.cfg.orb.scale_factor ** l
+                         for l in range(self.cfg.orb.n_levels)])
+        return jnp.asarray(1.0 / (sf * sf), jnp.float32)

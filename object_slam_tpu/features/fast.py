@@ -1,0 +1,86 @@
+"""FAST-9/16 corner detection as dense vectorized compute.
+
+Parity with the FAST stage of `ORBextractor::ComputeKeyPointsOctTree`
+(`ORBextractor.cc:765-853`: cv::FAST per 30px cell with threshold fallback
+20 -> 7). TPU redesign: the segment test evaluates for EVERY pixel at once —
+16 ring comparisons materialize as 16 rolled copies of the image, the
+"contiguous arc >= 9" test is a circular AND-reduction over 16 rotations,
+and non-max suppression is a 3x3 max-pool comparison. Branch-free, maps
+straight onto the VPU. The dual-threshold fallback becomes: compute the
+response at the LOW threshold everywhere, and per cell prefer corners that
+also pass the HIGH threshold (see extractor.select_keypoints).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3 — the standard FAST-16 ring (dy, dx),
+# in circular order.
+RING_16 = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+
+def _ring_stack(img):
+    """[H, W] -> [16, H, W] where slice i is the image shifted so that
+    ring pixel i aligns with the center pixel."""
+    return jnp.stack([jnp.roll(img, (-dy, -dx), axis=(0, 1))
+                      for dy, dx in RING_16])
+
+
+def fast_score(img, threshold: float, arc_len: int = 9):
+    """Per-pixel FAST corner response.
+
+    Returns [H, W] float32: 0 for non-corners; for corners, the OpenCV-style
+    score (max over contiguous arcs of the min absolute center difference) —
+    the quantity non-max suppression ranks by.
+    """
+    ring = _ring_stack(img)                       # [16, H, W]
+    d = ring - img[None]                          # signed differences
+    bright = d > threshold
+    dark = d < -threshold
+
+    def arc_all(mask):
+        # acc_i = AND of mask at offsets i..i+arc_len-1 (circular)
+        acc = mask
+        for s in range(1, arc_len):
+            acc = acc & jnp.roll(mask, -s, axis=0)
+        return acc                                # [16, H, W] arc-start flags
+
+    ab = arc_all(bright)
+    ad = arc_all(dark)
+    is_corner = jnp.any(ab | ad, axis=0)
+
+    def arc_min(vals, mask):
+        # min |d| over each candidate arc, -inf where arc invalid
+        m = vals
+        for s in range(1, arc_len):
+            m = jnp.minimum(m, jnp.roll(vals, -s, axis=0))
+        return jnp.where(mask, m, 0.0)
+
+    score_b = jnp.max(arc_min(d, ab), axis=0)
+    score_d = jnp.max(arc_min(-d, ad), axis=0)
+    score = jnp.maximum(score_b, score_d) - threshold
+    return jnp.where(is_corner, jnp.maximum(score, 0.0) + threshold, 0.0)
+
+
+def nonmax_suppress(score):
+    """3x3 non-maximum suppression: keep pixels that are the strict max of
+    their neighborhood."""
+    neigh = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), 'SAME')
+    return jnp.where(score >= neigh, score, 0.0)
+
+
+def detect(img, threshold: float, arc_len: int = 9, border: int = 3):
+    """FAST + NMS with image-border zeroing. Returns [H, W] response map."""
+    s = nonmax_suppress(fast_score(img, threshold, arc_len))
+    h, w = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inb = ((ys >= border) & (ys < h - border) &
+           (xs >= border) & (xs < w - border))
+    return jnp.where(inb, s, 0.0)

@@ -1,0 +1,139 @@
+"""Per-frame front-end data: the TPU Frame pipeline.
+
+Parity with `Frame` (`Frame.{h,cc}`): ORB extraction, keypoint
+undistortion (`Frame.cc:644`), RGB-D depth lookup + virtual right disparity
+(`:883-904`), stereo L/R matching (`:706-880` — via features/stereo.py),
+per-level information weights, and Object2D construction (`:240-384` — via
+semantic/object2d.py). The 64x48 occupancy grid (`Frame.cc:455-470`) is
+unnecessary here: window searches are dense masked matrices, not per-cell
+candidate lists.
+
+A FrameData is a pure pytree — the whole build is one jitted call per
+sensor type.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from object_slam_tpu.features.extractor import OrbExtractor, Keypoints
+from object_slam_tpu.features import stereo as stereo_mod
+from object_slam_tpu.geometry import camera as cam_mod
+from object_slam_tpu.semantic import object2d as o2d_mod
+
+
+class FrameData(NamedTuple):
+    timestamp: jnp.ndarray       # [] f32
+    uv_raw: jnp.ndarray          # [N, 2] distorted pixel coords
+    uv: jnp.ndarray              # [N, 2] undistorted
+    ur: jnp.ndarray              # [N] right-u (-1 mono)
+    depth: jnp.ndarray           # [N] (-1 invalid)
+    level: jnp.ndarray           # [N] int32
+    angle: jnp.ndarray           # [N]
+    response: jnp.ndarray        # [N]
+    desc: jnp.ndarray            # [N, 8] uint32
+    valid: jnp.ndarray           # [N] bool
+    obj: o2d_mod.Object2DSlab    # per-frame detections
+    obj3d: jnp.ndarray           # [I] int32: matched map Object3D per det (-1)
+    kp_pt: jnp.ndarray           # [N] int32 matched map point (-1)
+    Tcw: jnp.ndarray             # [4, 4] pose (identity until tracked)
+    pose_ok: jnp.ndarray         # [] bool
+
+    @property
+    def n(self):
+        return self.uv.shape[0]
+
+
+class FrameBuilder:
+    """Owns the compiled extraction+assembly pipelines for one geometry."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.K = cam_mod.Intrinsics.from_config(cfg.camera)
+        self.extractor = OrbExtractor(cfg)
+        self.inv_sigma2 = self.extractor.inv_level_sigma2()
+        self.scale_factors = self.extractor.scale_factors()
+        self._rgbd = jax.jit(self._build_rgbd)
+        self._stereo = jax.jit(self._build_stereo)
+
+    # ------------------------------------------------------------------
+    def build_rgbd(self, gray, depth_img, rgb, sem_arrays, timestamp):
+        """gray [H, W] f32; depth_img [H, W] metric depth; rgb [H, W, 3];
+        sem_arrays = (masks, labels, probs, bboxes, valid) static slab."""
+        return self._rgbd(gray, depth_img, rgb, *sem_arrays,
+                          jnp.float32(timestamp))
+
+    def _build_rgbd(self, gray, depth_img, rgb, masks, labels, probs,
+                    bboxes, inst_valid, timestamp) -> FrameData:
+        cfg = self.cfg
+        kp = self.extractor(gray)
+        uv_und = cam_mod.undistort_points(self.K, kp.uv)
+        h, w = gray.shape
+        yy = jnp.clip(jnp.round(kp.uv[:, 1]).astype(jnp.int32), 0, h - 1)
+        xx = jnp.clip(jnp.round(kp.uv[:, 0]).astype(jnp.int32), 0, w - 1)
+        z = depth_img[yy, xx]
+        ur, z_ok = stereo_mod.rgbd_virtual_right(uv_und, z, self.K.bf)
+        depth = jnp.where(z_ok & kp.valid, z, -1.0)
+
+        obj = o2d_mod.build_object2ds(
+            rgb, masks, labels, probs, bboxes, inst_valid,
+            kp.uv, depth, kp.valid,
+            th_depth=cfg.camera.th_depth * cfg.camera.baseline,
+            min_kps=cfg.semantic.min_kps_rgbd,
+            mask_margin=cfg.semantic.mask_margin)
+        return self._assemble(kp, uv_und, ur, depth, obj, timestamp)
+
+    # ------------------------------------------------------------------
+    def build_stereo(self, gray_l, gray_r, rgb, sem_arrays, timestamp):
+        return self._stereo(gray_l, gray_r, rgb, *sem_arrays,
+                            jnp.float32(timestamp))
+
+    def _build_stereo(self, gray_l, gray_r, rgb, masks, labels, probs,
+                      bboxes, inst_valid, timestamp) -> FrameData:
+        cfg = self.cfg
+        kp_l = self.extractor(gray_l)
+        kp_r = self.extractor(gray_r)
+        uv_und = cam_mod.undistort_points(self.K, kp_l.uv)
+        ur, depth, ok = stereo_mod.match_stereo(
+            kp_l.uv, kp_l.level, kp_l.desc, kp_l.valid,
+            kp_r.uv, kp_r.level, kp_r.desc, kp_r.valid,
+            gray_l, gray_r, self.scale_factors,
+            float(self.K.bf), float(self.K.fx),
+            min_z=cfg.camera.baseline)
+        depth = jnp.where(ok, depth, -1.0)
+        # undistorted ur shift equals the raw one for the (0-distortion)
+        # stereo datasets (KITTI rectified); keep raw ur.
+        obj = o2d_mod.build_object2ds(
+            rgb, masks, labels, probs, bboxes, inst_valid,
+            kp_l.uv, depth, kp_l.valid,
+            th_depth=cfg.camera.th_depth * cfg.camera.baseline,
+            min_kps=cfg.semantic.min_kps_stereo,
+            mask_margin=cfg.semantic.mask_margin)
+        return self._assemble(kp_l, uv_und, jnp.where(ok, ur, -1.0), depth,
+                              obj, timestamp)
+
+    # ------------------------------------------------------------------
+    def _assemble(self, kp: Keypoints, uv_und, ur, depth, obj,
+                  timestamp) -> FrameData:
+        n = kp.uv.shape[0]
+        return FrameData(
+            timestamp=timestamp,
+            uv_raw=kp.uv, uv=uv_und, ur=ur, depth=depth,
+            level=kp.level, angle=kp.angle, response=kp.response,
+            desc=kp.desc, valid=kp.valid, obj=obj,
+            obj3d=jnp.full((obj.label.shape[0],), -1, jnp.int32),
+            kp_pt=jnp.full((n,), -1, jnp.int32),
+            Tcw=jnp.eye(4), pose_ok=jnp.array(False))
+
+    def empty_semantics(self):
+        cfg = self.cfg
+        import numpy as np
+        I = cfg.semantic.max_instances
+        H, W = cfg.camera.height, cfg.camera.width
+        return (np.zeros((I, H, W), bool), np.full((I,), -1, np.int32),
+                np.zeros((I,), np.float32), np.zeros((I, 4), np.float32),
+                np.zeros((I,), bool))

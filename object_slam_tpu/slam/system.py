@@ -1,0 +1,275 @@
+"""System facade: the per-frame orchestration loop.
+
+Parity with `System` (`System.{h,cc}`): construction wires the front end,
+map, and back end; `track_rgbd` / `track_stereo` are the per-frame entry
+points (`System.cc:125-238`); trajectory savers live in eval/trajectory_io.
+The reference's four threads (tracking / local mapping / loop closing /
+viewer, `System.cc:89-106`) become: a latency-critical jitted tracking
+chain on-device + keyframe-rate mapping work dispatched by this host loop
+(optionally deferred), with the functional MapState replacing the
+mutex-guarded shared map.
+
+State machine (Tracking.h:99-105): NOT_INITIALIZED -> OK <-> LOST.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_slam_tpu.config import SlamConfig
+from object_slam_tpu.geometry import se3, camera as cam_mod
+from object_slam_tpu.slam import map_ops, tracking as trk, local_mapping
+from object_slam_tpu.slam.frame import FrameBuilder, FrameData
+from object_slam_tpu.slam.map_state import init_map, MapState
+from object_slam_tpu.slam.objects import ObjectEngine
+from object_slam_tpu.solvers.epnp import pnp_ransac
+
+NOT_INITIALIZED, OK, LOST = 0, 1, 2
+
+
+@dataclass
+class FrameRecord:
+    timestamp: float
+    Tcw: np.ndarray            # [4, 4] absolute (at track time)
+    ref_kf: int
+    Tcr: np.ndarray            # pose relative to reference KF
+    tracked: bool
+
+
+class SlamSystem:
+    def __init__(self, cfg: Optional[SlamConfig] = None,
+                 enable_objects: bool = True,
+                 enable_mapping: bool = True):
+        self.cfg = cfg or SlamConfig()
+        self.builder = FrameBuilder(self.cfg)
+        self.K = self.builder.K
+        self.inv_sigma2 = self.builder.inv_sigma2
+        self.scale_factors = self.builder.scale_factors
+        self.log_scale = math.log(self.cfg.orb.scale_factor)
+        self.map = init_map(self.cfg.caps,
+                            self.cfg.objects.history_capacity)
+        self.objects = ObjectEngine(self.cfg, self.K) if enable_objects else None
+        self.enable_mapping = enable_mapping
+
+        self.state = NOT_INITIALIZED
+        self.last_frame: Optional[FrameData] = None
+        self.velocity = np.eye(4, dtype=np.float32)   # T_cur_last
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+        self.frame_id = 0
+        self.trajectory: List[FrameRecord] = []
+        self.rng = jax.random.PRNGKey(0)
+
+        self._jit_stereo_init = jax.jit(self._stereo_init_impl)
+        self._jit_motion = jax.jit(self._motion_impl)
+        self._jit_refkf = jax.jit(self._refkf_impl)
+        self._jit_local = jax.jit(self._local_impl)
+        self._jit_insert = jax.jit(self._insert_impl)
+        self._jit_mapping = jax.jit(self._mapping_impl)
+
+    # ------------------------------------------------------------------
+    # jitted stage wrappers
+    # ------------------------------------------------------------------
+    def _stereo_init_impl(self, m, frame):
+        create = frame.valid & (frame.depth > 0)
+        m, kf_id = map_ops.insert_keyframe(
+            self.K, m, frame, jnp.eye(4), self.scale_factors, create)
+        kp_pt = m.kf_kp_pt[kf_id]
+        return m, kf_id, kp_pt
+
+    def _motion_impl(self, m, frame, last_uv, last_pt, last_level,
+                     last_valid, T_pred, radius):
+        return trk.track_motion_model(
+            self.K, m, frame, last_uv, last_pt, last_level, last_valid,
+            T_pred, self.scale_factors, self.inv_sigma2, radius_th=radius)
+
+    def _refkf_impl(self, m, frame, ref_kf, T0):
+        return trk.track_reference_kf(self.K, m, frame, ref_kf, T0,
+                                      self.inv_sigma2)
+
+    def _local_impl(self, m, frame, tr):
+        return trk.track_local_map(self.K, m, frame, tr,
+                                   self.scale_factors, self.inv_sigma2,
+                                   self.log_scale)
+
+    def _insert_impl(self, m, frame, Tcw, kp_pt, close_mask):
+        frame = frame._replace(kp_pt=kp_pt)
+        return map_ops.insert_keyframe(self.K, m, frame, Tcw,
+                                       self.scale_factors, close_mask)
+
+    def _mapping_impl(self, m, kf_id):
+        return local_mapping.process_new_keyframe(
+            self.K, m, kf_id, self.scale_factors, self.inv_sigma2, self.cfg)
+
+    # ------------------------------------------------------------------
+    # public per-frame API
+    # ------------------------------------------------------------------
+    def track_rgbd(self, gray, depth, rgb, sem_arrays=None, timestamp=0.0):
+        """gray [H,W] f32 0..255; depth [H,W] metric; rgb [H,W,3] f32."""
+        if sem_arrays is None:
+            sem_arrays = self.builder.empty_semantics()
+        frame = self.builder.build_rgbd(gray, depth, rgb, sem_arrays,
+                                        timestamp)
+        return self._track(frame)
+
+    def track_stereo(self, gray_l, gray_r, rgb, sem_arrays=None,
+                     timestamp=0.0):
+        if sem_arrays is None:
+            sem_arrays = self.builder.empty_semantics()
+        frame = self.builder.build_stereo(gray_l, gray_r, rgb, sem_arrays,
+                                          timestamp)
+        return self._track(frame)
+
+    # ------------------------------------------------------------------
+    def _track(self, frame: FrameData):
+        cfg = self.cfg
+        if self.state == NOT_INITIALIZED:
+            n_depth = int(jnp.sum((frame.depth > 0) & frame.valid))
+            if n_depth > 100:
+                self.map, kf_id, kp_pt = self._jit_stereo_init(self.map, frame)
+                frame = frame._replace(kp_pt=kp_pt, Tcw=jnp.eye(4),
+                                       pose_ok=jnp.array(True))
+                if self.objects is not None:
+                    self.map, frame = self.objects.update(self.map, frame)
+                self.state = OK
+                self.last_kf_id = int(kf_id)
+                self.frames_since_kf = 0
+                self._record(frame, True)
+            else:
+                self._record(frame, False)
+            self.last_frame = frame
+            self.frame_id += 1
+            return frame
+
+        # --- initial pose ---
+        last = self.last_frame
+        T_pred = jnp.asarray(self.velocity) @ last.Tcw
+        tr = self._jit_motion(self.map, frame, last.uv, last.kp_pt,
+                              last.level, last.valid, T_pred,
+                              cfg.tracking.motion_model_radius)
+        if int(tr.n_inliers) < 10:
+            tr = self._jit_refkf(self.map, frame,
+                                 jnp.int32(max(self.last_kf_id, 0)),
+                                 last.Tcw)
+        if int(tr.n_inliers) < 10:
+            tr = self._relocalize(frame)
+            if tr is None:
+                self.state = LOST
+                self._record(frame._replace(Tcw=last.Tcw), False)
+                self.last_frame = frame._replace(Tcw=last.Tcw)
+                self.frame_id += 1
+                return self.last_frame
+
+        # --- object association (before local map, Tracking.cc:453) ---
+        if self.objects is not None:
+            frame = frame._replace(Tcw=tr.Tcw)
+            frame = self.objects.associate(self.map, frame, last)
+
+        # --- local map tracking ---
+        if self.objects is not None and bool(jnp.any(frame.obj3d >= 0)):
+            tr2, self.map = self.objects.track_local_map_semantic(
+                self.map, frame, tr)
+            ref_kf = self.last_kf_id
+        else:
+            tr2, self.map, ref_kf = self._jit_local(self.map, frame, tr)
+            ref_kf = int(ref_kf)
+        n_inl = int(tr2.n_inliers)
+        ok = n_inl >= 30 or (n_inl >= 10 and self.frame_id < 5)
+        self.state = OK if ok else LOST
+
+        frame = frame._replace(Tcw=tr2.Tcw, kp_pt=tr2.kp_pt,
+                               pose_ok=jnp.array(ok))
+
+        # --- object landmark update ---
+        if self.objects is not None and ok:
+            self.map, frame = self.objects.update(self.map, frame)
+
+        # --- motion model ---
+        if ok:
+            self.velocity = np.asarray(tr2.Tcw @ se3.inverse(last.Tcw))
+
+        # --- keyframe policy ---
+        if ok and self.enable_mapping:
+            close = (frame.depth > 0) & (frame.depth < cfg.camera.th_depth
+                                         * cfg.camera.baseline)
+            tracked = frame.kp_pt >= 0
+            n_close_trk = int(jnp.sum(close & tracked & frame.valid))
+            n_close_untrk = int(jnp.sum(close & ~tracked & frame.valid))
+            ref_matches = int(jnp.sum(self.map.kf_kp_pt[self.last_kf_id] >= 0))
+            if trk.need_new_keyframe(
+                    n_inl, ref_matches, n_close_trk, n_close_untrk,
+                    self.frames_since_kf,
+                    max_frames=cfg.tracking.max_frames_between_kf):
+                spawn = close & ~tracked & frame.valid
+                self.map, kf_id = self._jit_insert(
+                    self.map, frame, tr2.Tcw, tr2.kp_pt, spawn)
+                self.last_kf_id = int(kf_id)
+                self.frames_since_kf = 0
+                self.map = self._jit_mapping(self.map, jnp.int32(kf_id))
+            else:
+                self.frames_since_kf += 1
+
+        self._record(frame, ok)
+        self.last_frame = frame
+        self.frame_id += 1
+        return frame
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame):
+        """Relocalization via PnP on all map points (Tracking.cc:1606;
+        candidate selection via BoW arrives with the loop module — until
+        then we PnP against the strongest recent keyframes' points)."""
+        m = self.map
+        P = m.pt_xyz.shape[0]
+        # match frame descriptors against all valid map points
+        from object_slam_tpu.features import matching as match_mod
+        midx, mok = match_mod.brute_match(
+            frame.desc, frame.valid, m.pt_desc,
+            m.pt_valid, th_dist=50, nn_ratio=0.75, check_rotation=False)
+        if int(jnp.sum(mok)) < 15:
+            return None
+        self.rng, k = jax.random.split(self.rng)
+        pw = m.pt_xyz[jnp.clip(midx, 0, P - 1)]
+        res = pnp_ransac(k, self.K, pw, frame.uv, mok,
+                         min_inliers=self.cfg.solver.epnp_min_inliers)
+        if not bool(res.ok):
+            return None
+        kp_pt = jnp.where(res.inliers, midx, -1)
+        return trk.TrackResult(Tcw=res.Tcw, kp_pt=kp_pt,
+                               inlier=res.inliers,
+                               n_matches=jnp.sum(mok.astype(jnp.int32)),
+                               n_inliers=res.n_inliers)
+
+    # ------------------------------------------------------------------
+    def _record(self, frame, tracked: bool):
+        Tcw = np.asarray(frame.Tcw)
+        ref = max(self.last_kf_id, 0)
+        Tkw = np.asarray(self.map.kf_pose[ref])
+        Tcr = Tcw @ np.linalg.inv(Tkw)
+        self.trajectory.append(FrameRecord(
+            timestamp=float(frame.timestamp), Tcw=Tcw, ref_kf=ref,
+            Tcr=Tcr, tracked=tracked))
+
+    def final_trajectory(self):
+        """Recompose each frame pose from its reference KF's (possibly
+        BA/loop-corrected) pose, as SaveTrajectoryTUM (System.cc:378-436)."""
+        kf_pose = np.asarray(self.map.kf_pose)
+        out = []
+        for rec in self.trajectory:
+            Tcw = rec.Tcr @ kf_pose[rec.ref_kf]
+            out.append((rec.timestamp, Tcw, rec.tracked))
+        return out
+
+    @property
+    def n_keyframes(self):
+        return int(self.map.n_kf)
+
+    @property
+    def n_points(self):
+        return int(jnp.sum(self.map.pt_valid))

@@ -1,0 +1,236 @@
+"""Front-end tracking: the per-frame pose pipeline.
+
+Parity with `Tracking` (`Tracking.{h,cc}`): state machine
+(NOT_INITIALIZED / OK / LOST, `Tracking.h:99-105`), stereo/RGB-D
+initialization (`Tracking.cc:590-650`), motion-model tracking
+(`:948-1009`), reference-KF tracking (`:838-880`), relocalization
+(`:1606-1767`), local-map tracking (`:1011-1056`, `:1408-1604`), keyframe
+policy (`:1242-1326`).
+
+TPU redesign: each stage is one jitted masked-dense computation; the host
+only sequences stages and reads tiny scalars (inlier counts) to drive the
+state machine. Map point "local window" selection is a top-k compaction to
+a static slab so the hot matching matrices keep fixed shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from object_slam_tpu.geometry import se3, camera as cam_mod
+from object_slam_tpu.features import matching
+from object_slam_tpu.solvers.pose_opt import PoseObs, pose_optimize
+from object_slam_tpu.slam.frame import FrameData
+from object_slam_tpu.slam.map_state import MapState, covisibility
+
+MAX_LOCAL_POINTS = 4096
+
+
+class TrackResult(NamedTuple):
+    Tcw: jnp.ndarray
+    kp_pt: jnp.ndarray          # [N] matched point per keypoint (-1)
+    inlier: jnp.ndarray         # [N] bool pose-opt inliers
+    n_matches: jnp.ndarray      # [] int32
+    n_inliers: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Stage: motion-model tracking
+# ---------------------------------------------------------------------------
+
+def track_motion_model(K, m: MapState, frame: FrameData,
+                       last_uv, last_pt, last_level, last_valid,
+                       T_pred, scale_factors, inv_sigma2_lvl,
+                       radius_th: float = 15.0,
+                       min_matches: int = 20) -> TrackResult:
+    """SearchByProjection(cur, last) + PoseOptimization
+    (Tracking.cc:948-1009, ORBmatcher.cc:1328-1470).
+
+    last_*: the previous frame's keypoint slab and its point matches.
+    """
+    P = m.pt_xyz.shape[0]
+    rows_ok = last_valid & (last_pt >= 0)
+    ptc = jnp.clip(last_pt, 0, P - 1)
+    pw = m.pt_xyz[ptc]
+    rows_ok = rows_ok & m.pt_valid[ptc]
+
+    pc = se3.apply(T_pred, pw[None])[0]
+    uv = cam_mod.project(K, pc)
+    rows_ok = rows_ok & (pc[:, 2] > 0) & cam_mod.in_image(K, uv)
+
+    lvl = jnp.clip(last_level, 0, scale_factors.shape[0] - 1)
+    radius = radius_th * scale_factors[lvl]
+    ur_pred = uv[:, 0] - K.bf / jnp.maximum(pc[:, 2], 1e-6)
+
+    midx, mok = matching.search_by_projection(
+        uv, last_level, m.pt_desc[ptc], rows_ok,
+        frame.uv, frame.level, frame.desc, frame.valid,
+        radius_per_row=radius, th_dist=100, nn_ratio=None,
+        kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius)
+
+    # build per-keypoint match table
+    N = frame.uv.shape[0]
+    kp_pt = jnp.full((N,), -1, jnp.int32)
+    tgt = jnp.clip(midx, 0, N - 1)
+    kp_pt = kp_pt.at[tgt].set(jnp.where(mok, last_pt, kp_pt[tgt]))
+
+    return _optimize_from_matches(K, m, frame, T_pred, kp_pt,
+                                  inv_sigma2_lvl, min_matches)
+
+
+def _optimize_from_matches(K, m, frame, T0, kp_pt, inv_sigma2_lvl,
+                           min_matches) -> TrackResult:
+    P = m.pt_xyz.shape[0]
+    matched = (kp_pt >= 0) & frame.valid
+    ptc = jnp.clip(kp_pt, 0, P - 1)
+    obs = PoseObs(
+        uv=frame.uv, ur=jnp.where(matched, frame.ur, -1.0),
+        pw=m.pt_xyz[ptc],
+        inv_sigma2=inv_sigma2_lvl[jnp.clip(frame.level, 0,
+                                           inv_sigma2_lvl.shape[0] - 1)],
+        valid=matched)
+    n_matches = jnp.sum(matched.astype(jnp.int32))
+    Tcw, inlier, n_inl = pose_optimize(K, T0, obs)
+    kp_pt_out = jnp.where(inlier, kp_pt, -1)
+    return TrackResult(Tcw=Tcw, kp_pt=kp_pt_out, inlier=inlier,
+                       n_matches=n_matches, n_inliers=n_inl)
+
+
+# ---------------------------------------------------------------------------
+# Stage: reference-keyframe tracking (fallback)
+# ---------------------------------------------------------------------------
+
+def track_reference_kf(K, m: MapState, frame: FrameData, ref_kf,
+                       T0, inv_sigma2_lvl,
+                       min_matches: int = 15) -> TrackResult:
+    """Brute descriptor match against the reference KF's mapped keypoints
+    then pose optimization (Tracking.cc:838-880; SearchByBoW replaced by a
+    dense Hamming matrix — see features/matching.py rationale)."""
+    N = frame.uv.shape[0]
+    kf_desc = m.kf_kp_desc[ref_kf]
+    kf_pt = m.kf_kp_pt[ref_kf]
+    P = m.pt_xyz.shape[0]
+    rows_ok = m.kf_kp_valid[ref_kf] & (kf_pt >= 0) & \
+        m.pt_valid[jnp.clip(kf_pt, 0, P - 1)]
+    midx, mok = matching.brute_match(
+        kf_desc, rows_ok, frame.desc, frame.valid,
+        th_dist=50, nn_ratio=0.7,
+        angle_a=m.kf_kp_angle[ref_kf], angle_b=frame.angle,
+        check_rotation=True)
+    kp_pt = jnp.full((N,), -1, jnp.int32)
+    tgt = jnp.clip(midx, 0, N - 1)
+    kp_pt = kp_pt.at[tgt].set(jnp.where(mok, kf_pt, kp_pt[tgt]))
+    return _optimize_from_matches(K, m, frame, T0, kp_pt,
+                                  inv_sigma2_lvl, min_matches)
+
+
+# ---------------------------------------------------------------------------
+# Stage: local-map tracking
+# ---------------------------------------------------------------------------
+
+def select_local_points(m: MapState, kp_pt, n_local_kf: int = 16):
+    """UpdateLocalKeyFrames/Points (Tracking.cc:1460-1604): keyframes that
+    share points with the current frame + their covisible neighbors; all
+    their points become the local set, compacted to MAX_LOCAL_POINTS."""
+    Kcap, N = m.kf_kp_pt.shape
+    P = m.pt_xyz.shape[0]
+    matched = kp_pt >= 0
+    ptc = jnp.clip(kp_pt, 0, P - 1)
+
+    # votes: how many current matches each KF observes (via incidence)
+    A = jnp.zeros((Kcap, P), bool)
+    kk = jnp.arange(Kcap)[:, None]
+    A = A.at[kk, jnp.clip(m.kf_kp_pt, 0, P - 1)].max(
+        (m.kf_kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None])
+    votes = jnp.sum(A[:, ptc] & matched[None, :], axis=1)     # [K]
+
+    _, local_kfs = jax.lax.top_k(votes, n_local_kf)
+    kf_ok = votes[local_kfs] > 0
+
+    # local point mask: observed by any local KF
+    local_mask = jnp.any(A[local_kfs] & kf_ok[:, None], axis=0) & m.pt_valid
+    # compact: strongest = those with most observations
+    score = jnp.where(local_mask, m.pt_n_obs, -1)
+    _, local_pts = jax.lax.top_k(score, MAX_LOCAL_POINTS)
+    local_ok = score[local_pts] >= 0
+    ref_kf = local_kfs[0]
+    return local_pts, local_ok, ref_kf
+
+
+def track_local_map(K, m: MapState, frame: FrameData, tr: TrackResult,
+                    scale_factors, inv_sigma2_lvl, log_scale: float,
+                    radius_th: float = 7.0,
+                    view_cos_limit: float = 0.5):
+    """SearchLocalPoints + pose re-optimization (Tracking.cc:1011-1056,
+    :1408-1456). Returns (TrackResult, updated map visibility counters,
+    ref_kf)."""
+    local_pts, local_ok, ref_kf = select_local_points(m, tr.kp_pt)
+    pw = m.pt_xyz[local_pts]
+
+    ok, uv, z, dist, view_cos = cam_mod.frustum_check(
+        K, tr.Tcw, pw, m.pt_normal[local_pts],
+        m.pt_min_dist[local_pts] * 0.8, m.pt_max_dist[local_pts] * 1.2,
+        view_cos_limit)
+    ok = ok & local_ok
+
+    # already-matched points are not searched again
+    P = m.pt_xyz.shape[0]
+    already = jnp.zeros((P,), bool).at[
+        jnp.clip(tr.kp_pt, 0, P - 1)].max(tr.kp_pt >= 0)
+    ok_search = ok & ~already[local_pts]
+
+    lvl = cam_mod.predict_scale_level(dist, m.pt_max_dist[local_pts],
+                                      log_scale, scale_factors.shape[0])
+    # radius by viewing angle as the reference (2.5 if cos>0.998 else 4.0)
+    r0 = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    radius = r0 * scale_factors[lvl] * (radius_th / 7.0)
+
+    ur_pred = uv[:, 0] - K.bf / jnp.maximum(z, 1e-6)
+    kp_free = frame.valid & (tr.kp_pt < 0)
+    midx, mok = matching.search_by_projection(
+        uv, lvl, m.pt_desc[local_pts], ok_search,
+        frame.uv, frame.level, frame.desc, kp_free,
+        radius_per_row=radius, th_dist=50, nn_ratio=0.8,
+        kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius)
+
+    N = frame.uv.shape[0]
+    kp_pt = tr.kp_pt
+    tgt = jnp.clip(midx, 0, N - 1)
+    kp_pt = kp_pt.at[tgt].set(jnp.where(mok, local_pts, kp_pt[tgt]))
+
+    res = _optimize_from_matches(K, m, frame, tr.Tcw, kp_pt,
+                                 inv_sigma2_lvl, 30)
+
+    # visibility/found counters for culling (MapPoint::Increase*)
+    vis_ids = jnp.where(ok, local_pts, 0)
+    m = m._replace(
+        pt_visible=m.pt_visible.at[vis_ids].add(ok.astype(jnp.int32)))
+    inl_ids = jnp.clip(res.kp_pt, 0, P - 1)
+    m = m._replace(
+        pt_found=m.pt_found.at[inl_ids].add((res.kp_pt >= 0).astype(jnp.int32)))
+    return res, m, ref_kf
+
+
+# ---------------------------------------------------------------------------
+# Keyframe policy
+# ---------------------------------------------------------------------------
+
+def need_new_keyframe(n_inliers, n_ref_matches, n_close_tracked,
+                      n_close_untracked, frames_since_kf,
+                      max_frames: int, sensor_is_mono: bool = False):
+    """NeedNewKeyFrame (Tracking.cc:1242-1326), reduced to its decision
+    variables: tracked-vs-reference ratio, close-point budget, frame gap.
+
+    All args are ints (host side). Returns bool.
+    """
+    need_close = (n_close_tracked < 100) and (n_close_untracked > 70)
+    ratio = 0.75 if not sensor_is_mono else 0.9
+    weak = n_inliers < n_ref_matches * ratio
+    c1 = frames_since_kf >= max_frames
+    c2 = weak or need_close
+    ok_inliers = n_inliers > 15
+    return bool(ok_inliers and (c1 or c2) and n_inliers < 350)
