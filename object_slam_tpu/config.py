@@ -136,6 +136,8 @@ class TrackingConfig:
     kf_ref_ratio_many_kf: float = 0.90
     close_point_depth_n: int = 100       # stereo: need new KF if <100 close pts
     motion_model_radius: float = 15.0    # projection search window th (stereo 7)
+    min_init_matches: int = 100          # mono two-view bootstrap gate
+    min_init_inliers: int = 50           # triangulated-inlier gate
 
 
 @dataclass(frozen=True)

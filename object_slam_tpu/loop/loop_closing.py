@@ -1,0 +1,259 @@
+"""Loop closing: detection, Sim3 verification, correction, global BA.
+
+Parity with `LoopClosing` (`LoopClosing.cc`):
+  * `DetectLoop` (`:104-230`): BoW candidates above the covisibility
+    min-score, plus 3-consecutive-keyframe group consistency.
+  * `ComputeSim3` (`:232-401`): descriptor matches between query and
+    candidate keyframes -> RANSAC Horn Sim3 (SE3 for stereo/RGBD) ->
+    guided projection match count gate.
+  * `CorrectLoop` (`:403-644`): corrected pose propagation to the covisible
+    neighborhood, loop-point fusion, essential-graph optimization
+    (solvers/pose_graph.py), and a global BA (`RunGlobalBundleAdjustment`,
+    `:646-750`).
+
+Host orchestration sequences these; every heavy step is a jitted dense
+kernel. Consistency bookkeeping is tiny host state (numpy masks), matching
+the reference's mvConsistentGroups.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_slam_tpu.features import matching
+from object_slam_tpu.geometry import se3, camera as cam_mod
+from object_slam_tpu.loop import kfdb
+from object_slam_tpu.loop.vocabulary import Vocabulary, l1_score
+from object_slam_tpu.slam.map_state import MapState, covisibility
+from object_slam_tpu.solvers import sim3_solver
+from object_slam_tpu.solvers.ba import BAProblem, global_ba
+from object_slam_tpu.solvers.pose_graph import (PoseGraphProblem,
+                                                optimize_pose_graph,
+                                                correct_points)
+
+
+class LoopCloser:
+    def __init__(self, cfg, K, vocab: Optional[Vocabulary] = None,
+                 fix_scale: bool = True):
+        self.cfg = cfg
+        self.K = K
+        self.vocab = vocab or Vocabulary.train_random(
+            cfg.loop.vocab_branching, cfg.loop.vocab_depth)
+        self.fix_scale = fix_scale
+        self.consistent_groups: List[Tuple[set, int]] = []
+        self.last_loop_kf = -10
+        self.rng = jax.random.PRNGKey(42)
+        self.n_loops_closed = 0
+        self._jit_bow = jax.jit(self._bow_impl)
+        self._jit_detect = jax.jit(self._detect_impl)
+        self._jit_match_pairs = jax.jit(self._match_pairs_impl)
+        self._jit_pose_graph = jax.jit(self._pose_graph_impl)
+        self._jit_gba = jax.jit(self._gba_impl)
+
+    # ------------------------------------------------------------------
+    def _bow_impl(self, m: MapState, kf_id):
+        word, bow = self.vocab.transform(m.kf_kp_desc[kf_id],
+                                         m.kf_kp_valid[kf_id])
+        return m._replace(kf_bow=m.kf_bow.at[kf_id].set(bow))
+
+    def _detect_impl(self, m: MapState, kf_id):
+        W = covisibility(m)
+        covis_row = W[kf_id] > 0
+        # min score: lowest BoW similarity to a covisible KF
+        # (LoopClosing.cc:122-142)
+        scores_covis = l1_score(m.kf_bow, m.kf_bow[kf_id][None, :])
+        min_score = jnp.min(jnp.where(covis_row & m.kf_valid,
+                                      scores_covis, 1.0))
+        cand, scores = kfdb.detect_loop_candidates(
+            m.kf_bow, m.kf_valid, m.kf_bow[kf_id], kf_id, covis_row,
+            min_score)
+        keep, _ = kfdb.aggregate_group_scores(cand, scores, W)
+        return keep, W
+
+    # ------------------------------------------------------------------
+    def on_keyframe(self, m: MapState, kf_id: int):
+        """Run detection + (maybe) correction. Returns (m, closed: bool)."""
+        m = self._jit_bow(m, jnp.int32(kf_id))
+        if kf_id < 10 or kf_id - self.last_loop_kf < 10:
+            self.consistent_groups = []
+            return m, False
+
+        cand_mask, W = self._jit_detect(m, jnp.int32(kf_id))
+        cand_ids = np.nonzero(np.asarray(cand_mask))[0]
+        if len(cand_ids) == 0:
+            self.consistent_groups = []
+            return m, False
+
+        # --- 3-consistency bookkeeping (LoopClosing.cc:150-226)
+        Wnp = np.asarray(W)
+        covis_th = self.cfg.loop.covis_consistency_th
+        new_groups: List[Tuple[set, int]] = []
+        enough: List[int] = []
+        for c in cand_ids:
+            group = set(np.nonzero(Wnp[c] > 0)[0].tolist()) | {int(c)}
+            consistent_cnt = 0
+            for prev_group, prev_cnt in self.consistent_groups:
+                if group & prev_group:
+                    consistent_cnt = max(consistent_cnt, prev_cnt + 1)
+            new_groups.append((group, consistent_cnt))
+            if consistent_cnt >= covis_th:
+                enough.append(int(c))
+        self.consistent_groups = new_groups
+        if not enough:
+            return m, False
+
+        # --- ComputeSim3 on the consistent candidates
+        for loop_kf in enough:
+            ok, T12, s12, n_inl = self._compute_sim3(m, kf_id, loop_kf)
+            if ok:
+                m = self._correct_loop(m, kf_id, loop_kf, T12, s12)
+                self.last_loop_kf = kf_id
+                self.consistent_groups = []
+                self.n_loops_closed += 1
+                return m, True
+        return m, False
+
+    # ------------------------------------------------------------------
+    def _match_pairs_impl(self, m: MapState, q, l):
+        """Descriptor matches between two KFs' mapped keypoints ->
+        camera-frame point pairs."""
+        P = m.pt_xyz.shape[0]
+        okq = m.kf_kp_valid[q] & (m.kf_kp_pt[q] >= 0)
+        okl = m.kf_kp_valid[l] & (m.kf_kp_pt[l] >= 0)
+        ptq = jnp.clip(m.kf_kp_pt[q], 0, P - 1)
+        ptl = jnp.clip(m.kf_kp_pt[l], 0, P - 1)
+        okq = okq & m.pt_valid[ptq]
+        okl = okl & m.pt_valid[ptl]
+        midx, mok = matching.brute_match(
+            m.kf_kp_desc[q], okq, m.kf_kp_desc[l], okl,
+            th_dist=50, nn_ratio=0.75,
+            angle_a=m.kf_kp_angle[q], angle_b=m.kf_kp_angle[l])
+        N = m.kf_kp_pt.shape[1]
+        mi = jnp.clip(midx, 0, N - 1)
+        pw_q = m.pt_xyz[ptq]
+        pw_l = m.pt_xyz[ptl[mi]]
+        pc_q = se3.apply(m.kf_pose[q], pw_q[None])[0]
+        pc_l = se3.apply(m.kf_pose[l], pw_l[None])[0]
+        return pc_q, pc_l, mok
+
+    def _compute_sim3(self, m: MapState, q: int, l: int):
+        pc_q, pc_l, mok = self._jit_match_pairs(m, jnp.int32(q), jnp.int32(l))
+        if int(jnp.sum(mok)) < 20:
+            return False, None, None, 0
+        self.rng, k = jax.random.split(self.rng)
+        res = sim3_solver.sim3_ransac(
+            k, self.K, pc_q, pc_l, mok, fix_scale=self.fix_scale,
+            min_inliers=self.cfg.loop.sim3_inliers)
+        if not bool(res.ok):
+            return False, None, None, 0
+        # guided projection gate: project loop-side covisible points into
+        # the query frame with the corrected pose; count matches
+        n_total = int(res.n_inliers)  # + guided matches below
+        n_guided = self._guided_matches(m, q, l, res.T12, res.s12)
+        if n_total + n_guided < self.cfg.loop.total_matches_accept:
+            return False, None, None, 0
+        return True, res.T12, res.s12, n_total
+
+    def _guided_matches(self, m: MapState, q: int, l: int, T12, s12) -> int:
+        """SearchByProjection of the loop KF neighborhood's points into the
+        query frame under the corrected pose (LoopClosing.cc:372-390)."""
+        P = m.pt_xyz.shape[0]
+        Wl = covisibility(m)[l]
+        nbr = (Wl > 0) | (jnp.arange(Wl.shape[0]) == l)
+        A = m.kf_kp_pt
+        pts_mask = jnp.zeros((P,), bool).at[
+            jnp.clip(A, 0, P - 1).reshape(-1)].max(
+            ((A >= 0) & m.kf_kp_valid & nbr[:, None]).reshape(-1))
+        pts_mask = pts_mask & m.pt_valid
+        # corrected query pose: Tcw_q' = (T12, s12) o T_lw
+        Tq_corr = T12 @ m.kf_pose[l]
+        pw = m.pt_xyz
+        pc = se3.apply(Tq_corr, pw[None])[0] * s12
+        uv = cam_mod.project(self.K, pc)
+        vis = pts_mask & (pc[:, 2] > 0) & cam_mod.in_image(self.K, uv)
+        lvl = jnp.zeros((P,), jnp.int32)
+        midx, mok = matching.search_by_projection(
+            uv, lvl, m.pt_desc, vis,
+            m.kf_kp_uv[q], m.kf_kp_level[q] * 0, m.kf_kp_desc[q],
+            m.kf_kp_valid[q],
+            radius_per_row=jnp.full((P,), 8.0), th_dist=50,
+            nn_ratio=None, level_window=8)
+        return int(jnp.sum(mok))
+
+    # ------------------------------------------------------------------
+    def _pose_graph_impl(self, m: MapState, q, l, T12, s12):
+        """Essential-graph optimization after a loop (Optimizer.cc:781)."""
+        Kcap = m.kf_pose.shape[0]
+        W = covisibility(m)
+
+        # edges: spanning tree + strong covisibility (>=100) + the loop edge
+        parents = m.kf_parent
+        has_parent = (parents >= 0) & m.kf_valid
+        ei_tree = jnp.clip(parents, 0, Kcap - 1)
+        ej_tree = jnp.arange(Kcap)
+
+        strong = jnp.triu(W >= 100, 1) & m.kf_valid[:, None] & m.kf_valid[None, :]
+        si, sj = jnp.nonzero(strong, size=4 * Kcap, fill_value=0)
+        s_ok = strong[si, sj]
+
+        ei = jnp.concatenate([ei_tree, si, jnp.array([l])])
+        ej = jnp.concatenate([ej_tree, sj, jnp.array([q])])
+        e_ok = jnp.concatenate([has_parent, s_ok, jnp.array([True])])
+
+        # measurements: current relative poses, except the loop edge which
+        # carries the Sim3-measured relative transform
+        Ti = m.kf_pose[ei]
+        Tj = m.kf_pose[ej]
+        rel_T = jnp.einsum('kij,kjl->kil', Tj, se3.inverse(Ti))
+        rel_s = jnp.ones(ei.shape[0])
+        rel_T = rel_T.at[-1].set(T12)
+        rel_s = rel_s.at[-1].set(s12)
+
+        prob = PoseGraphProblem(
+            T=m.kf_pose, s=jnp.ones(Kcap),
+            fixed=(~m.kf_valid) | (jnp.arange(Kcap) == l),
+            ei=ei, ej=ej, rel_T=rel_T, rel_s=rel_s,
+            valid=e_ok, weight=jnp.ones(ei.shape[0]))
+        T_new, s_new = optimize_pose_graph(
+            prob, n_iters=self.cfg.solver.pose_graph_iters)
+
+        pt_new = correct_points(m.pt_xyz, jnp.clip(m.pt_ref_kf, 0, Kcap - 1),
+                                m.kf_pose, jnp.ones(Kcap), T_new, s_new)
+        # fold scale into poses: Tcw' with unit scale (stereo/RGBD s=1)
+        m = m._replace(kf_pose=T_new, pt_xyz=pt_new,
+                       kf_loop_edge=m.kf_loop_edge.at[q].set(l),
+                       version=m.version + 1)
+        return m
+
+    def _gba_impl(self, m: MapState):
+        Kcap, N = m.kf_kp_pt.shape
+        P = m.pt_xyz.shape[0]
+        kp_pt = m.kf_kp_pt
+        obs_valid = (kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+        ptc = jnp.clip(kp_pt, 0, P - 1)
+        obs_valid = obs_valid & m.pt_valid[ptc]
+        prob = BAProblem(
+            kf_pose=m.kf_pose,
+            kf_fixed=jnp.zeros((Kcap,), bool).at[0].set(True) | ~m.kf_valid,
+            kf_valid=m.kf_valid,
+            pt_xyz=m.pt_xyz, pt_valid=m.pt_valid,
+            obs_kf=jnp.repeat(jnp.arange(Kcap), N),
+            obs_pt=ptc.reshape(-1),
+            obs_uv=m.kf_kp_uv.reshape(-1, 2),
+            obs_ur=jnp.where(obs_valid, m.kf_kp_ur, -1.0).reshape(-1),
+            obs_inv_sigma2=jnp.ones((Kcap * N,)),
+            obs_valid=obs_valid.reshape(-1))
+        kf_pose, pt_xyz = global_ba(self.K, prob,
+                                    iters=self.cfg.solver.global_ba_iters)
+        return m._replace(kf_pose=kf_pose, pt_xyz=pt_xyz,
+                          version=m.version + 1)
+
+    def _correct_loop(self, m: MapState, q: int, l: int, T12, s12):
+        m = self._jit_pose_graph(m, jnp.int32(q), jnp.int32(l), T12,
+                                 jnp.float32(s12))
+        m = self._jit_gba(m)
+        return m

@@ -58,14 +58,39 @@ class FrameBuilder:
         self.inv_sigma2 = self.extractor.inv_level_sigma2()
         self.scale_factors = self.extractor.scale_factors()
         self._rgbd = jax.jit(self._build_rgbd)
+        self._rgbd_noobj = jax.jit(self._build_rgbd_noobj)
         self._stereo = jax.jit(self._build_stereo)
+        self._mono = jax.jit(self._build_mono)
 
     # ------------------------------------------------------------------
     def build_rgbd(self, gray, depth_img, rgb, sem_arrays, timestamp):
         """gray [H, W] f32; depth_img [H, W] metric depth; rgb [H, W, 3];
-        sem_arrays = (masks, labels, probs, bboxes, valid) static slab."""
+        sem_arrays = (masks, labels, probs, bboxes, valid) static slab.
+
+        Host-side dispatch: frames with no valid detections take the
+        object-free pipeline (skips mask erosion / HSV histograms / the
+        jump-flooding feature transforms — ~3x frame-build cost when idle).
+        """
+        import numpy as np
+        if sem_arrays is None or not np.any(np.asarray(sem_arrays[4])):
+            return self._rgbd_noobj(gray, depth_img, jnp.float32(timestamp))
         return self._rgbd(gray, depth_img, rgb, *sem_arrays,
                           jnp.float32(timestamp))
+
+    def _build_rgbd_noobj(self, gray, depth_img, timestamp) -> FrameData:
+        cfg = self.cfg
+        kp = self.extractor(gray)
+        uv_und = cam_mod.undistort_points(self.K, kp.uv)
+        h, w = gray.shape
+        yy = jnp.clip(jnp.round(kp.uv[:, 1]).astype(jnp.int32), 0, h - 1)
+        xx = jnp.clip(jnp.round(kp.uv[:, 0]).astype(jnp.int32), 0, w - 1)
+        z = depth_img[yy, xx]
+        ur, z_ok = stereo_mod.rgbd_virtual_right(uv_und, z, self.K.bf)
+        depth = jnp.where(z_ok & kp.valid, z, -1.0)
+        obj = o2d_mod.empty_slab(cfg.semantic.max_instances,
+                                 cfg.camera.height, cfg.camera.width,
+                                 kp.uv.shape[0])
+        return self._assemble(kp, uv_und, ur, depth, obj, timestamp)
 
     def _build_rgbd(self, gray, depth_img, rgb, masks, labels, probs,
                     bboxes, inst_valid, timestamp) -> FrameData:
@@ -115,6 +140,22 @@ class FrameBuilder:
             mask_margin=cfg.semantic.mask_margin)
         return self._assemble(kp_l, uv_und, jnp.where(ok, ur, -1.0), depth,
                               obj, timestamp)
+
+    # ------------------------------------------------------------------
+    def build_mono(self, gray, timestamp):
+        """Monocular frame: no depth, no virtual right, no objects (the
+        reference's object pipeline requires depth — System.cc:334-338)."""
+        return self._mono(gray, jnp.float32(timestamp))
+
+    def _build_mono(self, gray, timestamp) -> FrameData:
+        kp = self.extractor(gray)
+        uv_und = cam_mod.undistort_points(self.K, kp.uv)
+        n = kp.uv.shape[0]
+        obj = o2d_mod.empty_slab(self.cfg.semantic.max_instances,
+                                 self.cfg.camera.height,
+                                 self.cfg.camera.width, n)
+        return self._assemble(kp, uv_und, jnp.full((n,), -1.0),
+                              jnp.full((n,), -1.0), obj, timestamp)
 
     # ------------------------------------------------------------------
     def _assemble(self, kp: Keypoints, uv_und, ur, depth, obj,

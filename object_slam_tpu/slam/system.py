@@ -45,7 +45,8 @@ class FrameRecord:
 class SlamSystem:
     def __init__(self, cfg: Optional[SlamConfig] = None,
                  enable_objects: bool = True,
-                 enable_mapping: bool = True):
+                 enable_mapping: bool = True,
+                 enable_loop: bool = False):
         self.cfg = cfg or SlamConfig()
         self.builder = FrameBuilder(self.cfg)
         self.K = self.builder.K
@@ -56,6 +57,14 @@ class SlamSystem:
                             self.cfg.objects.history_capacity)
         self.objects = ObjectEngine(self.cfg, self.K) if enable_objects else None
         self.enable_mapping = enable_mapping
+        self.loop_closer = None
+        if enable_loop:
+            from object_slam_tpu.loop.loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(
+                self.cfg, self.K, fix_scale=self.cfg.sensor != "mono")
+            n_words = self.loop_closer.vocab.n_words
+            self.map = self.map._replace(
+                kf_bow=jnp.zeros((self.cfg.caps.max_keyframes, n_words)))
 
         self.state = NOT_INITIALIZED
         self.last_frame: Optional[FrameData] = None
@@ -125,6 +134,75 @@ class SlamSystem:
         frame = self.builder.build_stereo(gray_l, gray_r, rgb, sem_arrays,
                                           timestamp)
         return self._track(frame)
+
+    def track_mono(self, gray, timestamp=0.0):
+        """Monocular entry point (Tracking::GrabImageMonocular analogue).
+        Initialization = two-view H/F-gated essential-matrix bootstrap
+        (solvers/initializer.py) instead of depth-based point spawning."""
+        frame = self.builder.build_mono(gray, timestamp)
+        if self.state == NOT_INITIALIZED:
+            return self._mono_initialize(frame)
+        return self._track(frame)
+
+    def _mono_initialize(self, frame: FrameData):
+        from object_slam_tpu.features import matching as match_mod
+        from object_slam_tpu.solvers.initializer import initialize_mono
+        ref = getattr(self, "_mono_ref", None)
+        if ref is None or int(jnp.sum(frame.valid)) < 100:
+            self._mono_ref = frame
+            self._record(frame, False)
+            self.last_frame = frame
+            self.frame_id += 1
+            return frame
+        midx, mok = match_mod.brute_match(
+            ref.desc, ref.valid, frame.desc, frame.valid,
+            th_dist=50, nn_ratio=0.9, angle_a=ref.angle,
+            angle_b=frame.angle)
+        if int(jnp.sum(mok)) < self.cfg.tracking.min_init_matches:
+            self._mono_ref = frame
+            self._record(frame, False)
+            self.last_frame = frame
+            self.frame_id += 1
+            return frame
+        N = frame.uv.shape[0]
+        mi = jnp.clip(midx, 0, N - 1)
+        self.rng, k = jax.random.split(self.rng)
+        init = initialize_mono(k, self.K, ref.uv, frame.uv[mi], mok,
+                               min_inliers=self.cfg.tracking.min_init_inliers)
+        if not bool(init.ok):
+            self._record(frame, False)
+            self.last_frame = frame
+            self.frame_id += 1
+            return frame
+        # scale so median depth = 1 (Tracking::CreateInitialMapMonocular)
+        z = init.pw[:, 2]
+        med = jnp.median(jnp.where(init.good, z, jnp.nan))
+        med = jnp.nan_to_num(med, nan=1.0)
+        pw = init.pw / jnp.maximum(med, 1e-6)
+        T21 = init.T21.at[:3, 3].set(init.T21[:3, 3] / jnp.maximum(med, 1e-6))
+
+        # KF0 at identity with ref frame features; spawn the triangulated
+        # points via a fake-depth path (depth = z of pw in ref frame)
+        ref2 = ref._replace(depth=jnp.where(init.good, pw[:, 2], -1.0))
+        self.map, kf0 = self._jit_insert(
+            self.map, ref2, jnp.eye(4), jnp.full((N,), -1, jnp.int32),
+            init.good)
+        kp_pt_ref = np.asarray(self.map.kf_kp_pt[int(kf0)])
+        # KF1: same points observed at matched indices
+        kp_pt1 = jnp.full((N,), -1, jnp.int32)
+        kp_pt1 = kp_pt1.at[mi].set(jnp.where(init.good, jnp.asarray(kp_pt_ref),
+                                             kp_pt1[mi]))
+        self.map, kf1 = self._jit_insert(
+            self.map, frame, T21, kp_pt1, jnp.zeros((N,), bool))
+        frame = frame._replace(Tcw=T21, kp_pt=kp_pt1,
+                               pose_ok=jnp.array(True))
+        self.state = OK
+        self.last_kf_id = int(kf1)
+        self.frames_since_kf = 0
+        self._record(frame, True)
+        self.last_frame = frame
+        self.frame_id += 1
+        return frame
 
     # ------------------------------------------------------------------
     def _track(self, frame: FrameData):
@@ -201,7 +279,15 @@ class SlamSystem:
             tracked = frame.kp_pt >= 0
             n_close_trk = int(jnp.sum(close & tracked & frame.valid))
             n_close_untrk = int(jnp.sum(close & ~tracked & frame.valid))
-            ref_matches = int(jnp.sum(self.map.kf_kp_pt[self.last_kf_id] >= 0))
+            # reference tracked points with >= nMinObs observations
+            # (Tracking.cc:1261-1266)
+            ref_pt = self.map.kf_kp_pt[self.last_kf_id]
+            P = self.map.pt_xyz.shape[0]
+            min_obs = 3 if self.n_keyframes > 2 else 1
+            ref_matches = int(jnp.sum(
+                (ref_pt >= 0)
+                & (self.map.pt_n_obs[jnp.clip(ref_pt, 0, P - 1)] >= min_obs)
+                & self.map.pt_valid[jnp.clip(ref_pt, 0, P - 1)]))
             if trk.need_new_keyframe(
                     n_inl, ref_matches, n_close_trk, n_close_untrk,
                     self.frames_since_kf,
@@ -212,6 +298,9 @@ class SlamSystem:
                 self.last_kf_id = int(kf_id)
                 self.frames_since_kf = 0
                 self.map = self._jit_mapping(self.map, jnp.int32(kf_id))
+                if self.loop_closer is not None:
+                    self.map, closed = self.loop_closer.on_keyframe(
+                        self.map, int(kf_id))
             else:
                 self.frames_since_kf += 1
 

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""KITTI stereo odometry experiment driver.
+
+Parity with `run_exp_kitti.py` + `Examples/Stereo/stereo_kitti.cc`: run the
+stereo pipeline over a KITTI odometry sequence with car-class masks, save
+the KITTI-format trajectory, and evaluate APE/RPE against the ground truth
+(the reference shells out to `evo`; eval/ate.py implements the same Horn
+alignment + RMSE math).
+
+Usage:
+  python scripts/run_kitti.py --seq /data/kitti/sequences/00 \
+      [--gt ExpResults/KITTI/groundtruth/00.txt] [--semantic-dir DIR]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", required=True)
+    ap.add_argument("--gt", default=None)
+    ap.add_argument("--semantic-dir", default=None)
+    ap.add_argument("--out", default="ExpResults")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--loop", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from object_slam_tpu.config import SlamConfig
+    from object_slam_tpu.datasets import kitti
+    from object_slam_tpu.eval import ate as ate_mod, trajectory_io
+    from object_slam_tpu.native.loader import FramePrefetcher
+    from object_slam_tpu.semantic import loader as sem_loader
+    from object_slam_tpu.slam.system import SlamSystem
+
+    cfg = SlamConfig.kitti_stereo()
+    frames = kitti.load_sequence(args.seq)
+    if args.max_frames:
+        frames = frames[:args.max_frames]
+
+    sys_ = SlamSystem(cfg, enable_objects=args.semantic_dir is not None,
+                      enable_loop=args.loop)
+    pf = FramePrefetcher(n_workers=4, capacity=6)
+    for i, fr in enumerate(frames):
+        pf.submit(2 * i, fr.left_path)
+        pf.submit(2 * i + 1, fr.right_path)
+
+    t0 = time.perf_counter()
+    for i, fr in enumerate(frames):
+        gl, _, _ = pf.get(2 * i)
+        gr, _, _ = pf.get(2 * i + 1)
+        gl = gl.astype(np.float32)
+        gr = gr.astype(np.float32)
+        if gl.ndim == 3:
+            w = np.array([0.299, 0.587, 0.114], np.float32)
+            gl, gr = gl @ w, gr @ w
+        rgb = np.stack([gl] * 3, -1)
+        sem_arrays = None
+        if args.semantic_dir:
+            sem_arrays = kitti.load_semantics(args.semantic_dir, fr.index, cfg)
+        sys_.track_stereo(jnp.asarray(gl), jnp.asarray(gr),
+                          jnp.asarray(rgb), sem_arrays,
+                          timestamp=fr.timestamp)
+        if i % 100 == 0:
+            print(f"frame {i}/{len(frames)} kfs={sys_.n_keyframes}")
+    total = time.perf_counter() - t0
+    pf.close()
+
+    os.makedirs(args.out, exist_ok=True)
+    traj = sys_.final_trajectory()
+    trajectory_io.save_trajectory_kitti(
+        os.path.join(args.out, "CameraTrajectory.txt"), traj)
+
+    result = {"frames": len(frames), "fps": len(frames) / total,
+              "keyframes": sys_.n_keyframes, "points": sys_.n_points}
+    if args.gt and os.path.isfile(args.gt):
+        gt = kitti.load_groundtruth(args.gt)
+        est = np.array([np.linalg.inv(T)[:3, 3] for _, T, _ in traj])
+        n = min(len(est), len(gt))
+        result["ate_rmse"] = ate_mod.ate_rmse(est[:n], gt[:n, :3, 3])
+        rpe = ate_mod.rpe(
+            np.array([np.linalg.inv(T) for _, T, _ in traj])[:n], gt[:n])
+        result.update({"rpe_" + k: v for k, v in rpe.items()})
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""TUM RGB-D experiment driver.
+
+Parity with `run_exp_tum.py` + `Examples/RGB-D/rgbd_tum.cc`: run the full
+system over an associated TUM sequence with offline YOLACT masks, save
+CameraTrajectory.txt / KeyFrameTrajectory.txt / ObjectInfo.txt, and
+evaluate ATE/RPE against groundtruth.txt (eval/ate.py implements the TUM
+benchmark math the reference shells out to).
+
+Usage:
+  python scripts/run_tum.py --seq /data/rgbd_dataset_freiburg2_desk \
+      [--semantic-dir DIR] [--out OUT_DIR] [--max-frames N] [--loop]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", required=True)
+    ap.add_argument("--semantic-dir", default=None)
+    ap.add_argument("--out", default="ExpResults")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--loop", action="store_true")
+    ap.add_argument("--no-objects", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from object_slam_tpu.config import SlamConfig
+    from object_slam_tpu.datasets import tum
+    from object_slam_tpu.eval import ate as ate_mod, trajectory_io
+    from object_slam_tpu.native.loader import FramePrefetcher, native_available
+    from object_slam_tpu.semantic import loader as sem_loader
+    from object_slam_tpu.slam.system import SlamSystem
+
+    cfg = SlamConfig.tum_rgbd()
+    frames = tum.load_sequence(args.seq)
+    if args.max_frames:
+        frames = frames[:args.max_frames]
+    print(f"{len(frames)} frames; native loader: {native_available()}")
+
+    sys_ = SlamSystem(cfg, enable_objects=not args.no_objects,
+                      enable_loop=args.loop)
+
+    # prefetch pipeline (native decode off the tracking thread)
+    pf = FramePrefetcher(n_workers=4, capacity=8,
+                         max_masks=cfg.semantic.max_instances)
+    meta = []
+    for i, fr in enumerate(frames):
+        mask_paths, dets = [], []
+        if args.semantic_dir:
+            dets = sem_loader.read_semantic_dir(
+                args.semantic_dir, sem_loader.tum_frame_key(fr.timestamp),
+                cfg.semantic.min_confidence, cfg.semantic.valid_labels_tum)
+        meta.append(dets)
+        pf.submit(i, fr.rgb_path, fr.depth_path, [])
+
+    t0 = time.perf_counter()
+    times = []
+    for i, fr in enumerate(frames):
+        rgb, depth16, _ = pf.get(i)
+        if rgb.ndim == 2:
+            rgb = np.stack([rgb] * 3, -1)
+        gray = (rgb.astype(np.float32) @
+                np.array([0.299, 0.587, 0.114], np.float32))
+        depth = depth16.astype(np.float32) / cfg.camera.depth_map_factor
+        dets = meta[i]
+        sem_arrays = sem_loader.detections_to_arrays(
+            dets, cfg.semantic.max_instances, cfg.camera.height,
+            cfg.camera.width) if dets else None
+        tf0 = time.perf_counter()
+        sys_.track_rgbd(jnp.asarray(gray), jnp.asarray(depth),
+                        jnp.asarray(rgb.astype(np.float32)),
+                        sem_arrays, timestamp=fr.timestamp)
+        times.append(time.perf_counter() - tf0)
+        if i % 50 == 0:
+            print(f"frame {i}/{len(frames)} kfs={sys_.n_keyframes} "
+                  f"pts={sys_.n_points}")
+    total = time.perf_counter() - t0
+    pf.close()
+
+    os.makedirs(args.out, exist_ok=True)
+    traj = sys_.final_trajectory()
+    trajectory_io.save_trajectory_tum(
+        os.path.join(args.out, "CameraTrajectory.txt"), traj)
+    trajectory_io.save_keyframe_trajectory_tum(
+        os.path.join(args.out, "KeyFrameTrajectory.txt"),
+        np.asarray(sys_.map.kf_timestamp), np.asarray(sys_.map.kf_pose),
+        np.asarray(sys_.map.kf_valid))
+    if sys_.objects is not None:
+        trajectory_io.save_object_info(
+            os.path.join(args.out, "ObjectInfo.txt"),
+            sys_.map.obj_label, sys_.map.obj_valid,
+            sys_.objects.semantic_constraints)
+
+    result = {
+        "frames": len(frames),
+        "fps": len(frames) / total,
+        "median_track_ms": float(np.median(times) * 1e3),
+        "keyframes": sys_.n_keyframes,
+        "points": sys_.n_points,
+    }
+
+    gt_file = os.path.join(args.seq, "groundtruth.txt")
+    if os.path.isfile(gt_file):
+        ts_gt, pos_gt, _ = tum.load_groundtruth(args.seq)
+        est = [(t, np.linalg.inv(T)[:3, 3]) for t, T, ok in traj if ok]
+        pairs = ate_mod.associate_timestamps([t for t, _ in est], ts_gt)
+        if len(pairs) > 10:
+            e = np.array([est[a][1] for a, b in pairs])
+            g = np.array([pos_gt[b] for a, b in pairs])
+            result["ate_rmse"] = ate_mod.ate_rmse(e, g)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

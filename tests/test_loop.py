@@ -1,0 +1,151 @@
+"""Tests for the place-recognition + loop-closing stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_slam_tpu.config import SlamConfig, CapacityConfig
+from object_slam_tpu.geometry import se3, camera as cam_mod
+from object_slam_tpu.loop.vocabulary import Vocabulary, l1_score
+from object_slam_tpu.loop import kfdb
+from object_slam_tpu.loop.loop_closing import LoopCloser
+from object_slam_tpu.slam.map_state import init_map
+
+
+def rand_desc(key, n):
+    return jax.random.bits(key, (n, 8), jnp.uint32)
+
+
+class TestVocabulary:
+    def setup_method(self):
+        self.vocab = Vocabulary.train_random(branching=4, depth=3, seed=0,
+                                             n_train=2000)
+
+    def test_transform_shapes(self):
+        desc = rand_desc(jax.random.PRNGKey(0), 100)
+        word, bow = self.vocab.transform(desc, jnp.ones(100, bool))
+        assert word.shape == (100,)
+        assert bow.shape == (self.vocab.n_words,)
+        assert abs(float(jnp.sum(jnp.abs(bow))) - 1.0) < 1e-5
+
+    def test_same_descriptors_same_words(self):
+        desc = rand_desc(jax.random.PRNGKey(1), 50)
+        w1, _ = self.vocab.transform(desc, jnp.ones(50, bool))
+        w2, _ = self.vocab.transform(desc, jnp.ones(50, bool))
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+    def test_near_descriptors_mostly_same_word(self):
+        desc = rand_desc(jax.random.PRNGKey(2), 200)
+        # flip 4 random bits
+        noise = jnp.zeros((200, 8), jnp.uint32).at[:, 0].set(0b1011)
+        w1, _ = self.vocab.transform(desc, jnp.ones(200, bool))
+        w2, _ = self.vocab.transform(desc ^ noise, jnp.ones(200, bool))
+        agree = float(jnp.mean((w1 == w2).astype(jnp.float32)))
+        assert agree > 0.6, agree
+
+    def test_l1_score_self_is_one(self):
+        desc = rand_desc(jax.random.PRNGKey(3), 80)
+        _, bow = self.vocab.transform(desc, jnp.ones(80, bool))
+        assert abs(float(l1_score(bow, bow)) - 1.0) < 1e-5
+
+    def test_distinct_frames_low_score(self):
+        _, b1 = self.vocab.transform(rand_desc(jax.random.PRNGKey(4), 80),
+                                     jnp.ones(80, bool))
+        _, b2 = self.vocab.transform(rand_desc(jax.random.PRNGKey(5), 80),
+                                     jnp.ones(80, bool))
+        assert float(l1_score(b1, b2)) < 0.7
+
+
+class TestKfdb:
+    def test_identical_bow_is_candidate(self):
+        W = 64
+        K = 8
+        key = jax.random.PRNGKey(0)
+        bows = jax.random.uniform(key, (K, W))
+        bows = bows / jnp.sum(bows, axis=-1, keepdims=True)
+        bows = bows.at[5].set(bows[0])  # KF5 is the same place as KF0
+        kf_valid = jnp.ones(K, bool)
+        covis_row = jnp.zeros(K, bool).at[1].set(True)  # KF1 covisible
+        cand, scores = kfdb.detect_loop_candidates(
+            bows, kf_valid, bows[0], 0, covis_row, min_score=0.5)
+        assert bool(cand[5])
+        assert not bool(cand[0])   # self excluded
+        assert not bool(cand[1])   # covisible excluded
+
+
+def make_loop_map(cfg, drift=0.3):
+    """Map with a loop: KF0 (loop target) and KF5 (query) observe the same
+    physical structure, but the query's copy of the points (and its pose)
+    are drifted. Intermediate KFs form a spanning-tree chain."""
+    key = jax.random.PRNGKey(0)
+    K = cam_mod.Intrinsics.from_config(cfg.camera)
+    m = init_map(cfg.caps)
+    n = 120
+    pw = jax.random.uniform(key, (n, 3),
+                            minval=jnp.array([-2.0, -2.0, 3.0]),
+                            maxval=jnp.array([2.0, 2.0, 6.0]))
+    desc = rand_desc(jax.random.PRNGKey(1), n)
+    drift_vec = jnp.array([drift, 0.0, 0.0])
+    pw_drift = pw + drift_vec
+
+    n_kf = 6
+    T_true = [se3.exp(jnp.array([0.05 * i, 0, 0, 0, 0.02 * i, 0]))
+              for i in range(n_kf)]
+    # query KF pose: consistent with its drifted copy of the points
+    # (observations still project correctly): Tq_est * (pw + d) = T0 * pw
+    Tw = jnp.eye(4).at[:3, 3].set(-drift_vec)
+    Tq_est = T_true[0] @ Tw
+
+    N = m.kf_kp_pt.shape[1]
+    m = m._replace(
+        pt_xyz=m.pt_xyz.at[:n].set(pw).at[n:2 * n].set(pw_drift),
+        pt_desc=m.pt_desc.at[:n].set(desc).at[n:2 * n].set(desc),
+        pt_valid=m.pt_valid.at[:2 * n].set(True),
+        pt_ref_kf=m.pt_ref_kf.at[:n].set(0).at[n:2 * n].set(5),
+        n_pt=jnp.int32(2 * n))
+
+    for i in range(n_kf):
+        pose = T_true[i] if i < 5 else Tq_est
+        pts = jnp.arange(n) if i < 5 else jnp.arange(n, 2 * n)
+        src = pw if i < 5 else pw_drift
+        pc = se3.apply(pose, src[None])[0]
+        uvr = cam_mod.project_stereo(K, pc)
+        m = m._replace(
+            kf_pose=m.kf_pose.at[i].set(pose),
+            kf_valid=m.kf_valid.at[i].set(True),
+            kf_parent=m.kf_parent.at[i].set(i - 1),
+            kf_kp_uv=m.kf_kp_uv.at[i, :n].set(uvr[:, :2]),
+            kf_kp_ur=m.kf_kp_ur.at[i, :n].set(uvr[:, 2]),
+            kf_kp_desc=m.kf_kp_desc.at[i, :n].set(desc),
+            kf_kp_valid=m.kf_kp_valid.at[i, :n].set(True),
+            kf_kp_pt=m.kf_kp_pt.at[i, :n].set(pts),
+            n_kf=jnp.int32(n_kf))
+    return m, K, T_true, Tq_est, drift_vec
+
+
+class TestLoopClosing:
+    def test_sim3_detects_drift(self):
+        cfg = SlamConfig(caps=CapacityConfig(n_kp=256, max_points=1024,
+                                             max_keyframes=16))
+        m, K, T_true, Tq_est, drift_vec = make_loop_map(cfg)
+        lc = LoopCloser(cfg, K)
+        ok, T12, s12, n = lc._compute_sim3(m, 5, 0)
+        assert ok
+        # corrected query pose should match the TRUE revisit pose
+        Tq_corr = np.asarray(T12 @ m.kf_pose[0])
+        err = se3.log(jnp.asarray(Tq_corr) @ jnp.linalg.inv(T_true[0]))
+        assert float(jnp.linalg.norm(err)) < 0.05
+
+    def test_correct_loop_fixes_pose(self):
+        cfg = SlamConfig(caps=CapacityConfig(n_kp=256, max_points=1024,
+                                             max_keyframes=16))
+        m, K, T_true, Tq_est, drift_vec = make_loop_map(cfg)
+        lc = LoopCloser(cfg, K)
+        ok, T12, s12, n = lc._compute_sim3(m, 5, 0)
+        assert ok
+        m2 = lc._correct_loop(m, 5, 0, T12, jnp.float32(s12))
+        err_before = float(jnp.linalg.norm(
+            se3.log(m.kf_pose[5] @ jnp.linalg.inv(T_true[0]))))
+        err_after = float(jnp.linalg.norm(
+            se3.log(m2.kf_pose[5] @ jnp.linalg.inv(T_true[0]))))
+        assert err_after < err_before * 0.5, (err_before, err_after)

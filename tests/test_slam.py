@@ -1,0 +1,117 @@
+"""SLAM-layer tests: map ops, end-to-end tracking regression, objects."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from object_slam_tpu.config import (SlamConfig, OrbConfig, CapacityConfig,
+                                    CameraConfig, SemanticConfig)
+from object_slam_tpu.datasets.synthetic import SyntheticScene, orbit_poses
+from object_slam_tpu.eval.ate import ate_rmse
+from object_slam_tpu.eval import trajectory_io
+from object_slam_tpu.slam.system import SlamSystem
+from object_slam_tpu.slam.map_state import init_map, covisibility
+
+
+def small_cfg(**sem_kw):
+    return SlamConfig(
+        camera=CameraConfig(width=160, height=120, fx=130.0, fy=130.0,
+                            cx=80.0, cy=60.0, dist=(0, 0, 0, 0, 0),
+                            bf=13.0, th_depth=40.0, depth_map_factor=1.0),
+        orb=OrbConfig(n_features=300, n_levels=4),
+        caps=CapacityConfig(n_kp=384, max_points=8192, max_keyframes=64),
+        semantic=SemanticConfig(**sem_kw) if sem_kw else SemanticConfig())
+
+
+def run_sequence(cfg, scene, poses, **sys_kw):
+    sys_ = SlamSystem(cfg, **sys_kw)
+    est, gt, oks = [], [], []
+    for i, T in enumerate(poses):
+        gray, depth, rgb, sem = scene.render_rgbd(T)
+        sem_arrays = scene.sem_arrays(sem, cfg.semantic.max_instances)
+        f = sys_.track_rgbd(jnp.asarray(gray), jnp.asarray(depth),
+                            jnp.asarray(rgb), sem_arrays,
+                            timestamp=float(i) / 30.0)
+        est.append(np.linalg.inv(np.asarray(f.Tcw))[:3, 3])
+        gt.append(np.linalg.inv(T)[:3, 3])
+        oks.append(bool(f.pose_ok))
+    return sys_, np.array(est), np.array(gt), oks
+
+
+class TestEndToEnd:
+    def test_rgbd_tracking_regression(self):
+        """The round-1 e2e slice: 12 frames, all tracked, ATE < 5 cm."""
+        cfg = small_cfg()
+        scene = SyntheticScene.make(cfg, seed=1, n_objects=2)
+        poses = orbit_poses(12, step=0.02)
+        sys_, est, gt, oks = run_sequence(cfg, scene, poses,
+                                          enable_objects=False)
+        assert all(oks), oks
+        assert ate_rmse(est, gt) < 0.05
+        assert sys_.n_keyframes >= 2
+        assert sys_.n_points > 50
+
+    def test_trajectory_io_roundtrip(self, tmp_path):
+        cfg = small_cfg()
+        scene = SyntheticScene.make(cfg, seed=2, n_objects=0)
+        poses = orbit_poses(5, step=0.02)
+        sys_, est, gt, oks = run_sequence(cfg, scene, poses,
+                                          enable_objects=False)
+        traj = sys_.final_trajectory()
+        p = tmp_path / "traj.txt"
+        trajectory_io.save_trajectory_tum(str(p), traj)
+        lines = p.read_text().strip().splitlines()
+        assert len(lines) == sum(1 for t in traj if t[2])
+        assert len(lines[0].split()) == 8
+        pk = tmp_path / "kitti.txt"
+        trajectory_io.save_trajectory_kitti(str(pk), traj)
+        assert len(pk.read_text().strip().splitlines()) == len(traj)
+
+
+class TestObjects:
+    def test_object_creation_and_stability(self, tmp_path):
+        """Close large objects + relaxed mask margin: Object3D landmarks
+        must appear, persist, and not duplicate across frames."""
+        cfg = small_cfg(mask_margin=3, min_kps_rgbd=4)
+        scene = SyntheticScene.make(cfg, seed=3, n_objects=2, plane_z=3.0)
+        # enlarge the boxes for the low resolution
+        for b in scene.boxes:
+            b['size'] = 1.0
+            b['center'][2] = 2.0
+        poses = orbit_poses(8, step=0.015)
+        sys_, est, gt, oks = run_sequence(cfg, scene, poses,
+                                          enable_objects=True)
+        assert all(oks)
+        n_obj = int(jnp.sum(sys_.map.obj_valid))
+        assert 1 <= n_obj <= 4, n_obj  # 2 true objects; merging keeps it tight
+        # object census output
+        p = tmp_path / "ObjectInfo.txt"
+        trajectory_io.save_object_info(
+            str(p), sys_.map.obj_label, sys_.map.obj_valid,
+            sys_.objects.semantic_constraints)
+        text = p.read_text()
+        assert "total:" in text and "semantic_constraints:" in text
+        # object points bound
+        n_obj_pts = int(jnp.sum(sys_.map.pt_obj >= 0))
+        assert n_obj_pts > 5
+
+
+class TestMapOps:
+    def test_covisibility_symmetric(self):
+        cfg = small_cfg()
+        m = init_map(cfg.caps)
+        # fabricate 3 KFs sharing points
+        m = m._replace(
+            kf_valid=m.kf_valid.at[:3].set(True),
+            kf_kp_valid=m.kf_kp_valid.at[:3].set(True),
+            kf_kp_pt=m.kf_kp_pt
+            .at[0, :50].set(jnp.arange(50))
+            .at[1, :30].set(jnp.arange(30))
+            .at[2, :10].set(jnp.arange(20, 30)))
+        W = np.asarray(covisibility(m))
+        assert W[0, 1] == 30 and W[1, 0] == 30
+        assert W[1, 2] == 10 and W[0, 2] == 10
+        assert W[0, 0] == 0
