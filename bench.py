@@ -58,10 +58,7 @@ def main():
     @jax.jit
     def track_step(gray, depth_img, m, last_uv, last_pt, last_level,
                    last_valid, T_pred):
-        frame = builder._build_rgbd(gray, depth_img,
-                                    jnp.zeros(gray.shape + (3,)),
-                                    *[jnp.asarray(x) for x in sem],
-                                    jnp.float32(0.0))
+        frame = builder._build_rgbd_noobj(gray, depth_img, jnp.float32(0.0))
         res = trk.track_motion_model(
             K, m, frame, last_uv, last_pt, last_level, last_valid,
             T_pred, sf, inv_s2)

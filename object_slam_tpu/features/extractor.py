@@ -33,6 +33,7 @@ import numpy as np
 
 from object_slam_tpu.features import fast as fast_mod
 from object_slam_tpu.features import pyramid as pyr_mod
+from object_slam_tpu.ops.patch_pallas import extract_patches_auto
 
 
 class Keypoints(NamedTuple):
@@ -76,13 +77,24 @@ def _cell_topk(resp, cell: int, k_per_cell: int):
     """Per-cell top-k over a [H, W] response map.
 
     Returns (scores [C], ys [C], xs [C]) with C = rows*cols*k_per_cell.
+    k iterations of argmax+mask — lax.top_k sorts the whole cell axis,
+    ~5x slower on TPU for k <= 4.
     """
     h, w = resp.shape
     rows, cols = h // cell, w // cell
     r = resp[:rows * cell, :cols * cell]
     r = r.reshape(rows, cell, cols, cell).transpose(0, 2, 1, 3)
     r = r.reshape(rows, cols, cell * cell)
-    vals, idx = jax.lax.top_k(r, k_per_cell)          # [rows, cols, k]
+    vals_l, idx_l = [], []
+    for _ in range(k_per_cell):
+        idx = jnp.argmax(r, axis=-1)
+        val = jnp.take_along_axis(r, idx[..., None], axis=-1)[..., 0]
+        r = jnp.where(jnp.arange(cell * cell)[None, None, :] == idx[..., None],
+                      -jnp.inf, r)
+        vals_l.append(val)
+        idx_l.append(idx)
+    vals = jnp.stack(vals_l, axis=-1)                 # [rows, cols, k]
+    idx = jnp.stack(idx_l, axis=-1)
     cy = idx // cell
     cx = idx % cell
     base_y = (jnp.arange(rows) * cell)[:, None, None]
@@ -90,6 +102,73 @@ def _cell_topk(resp, cell: int, k_per_cell: int):
     ys = (base_y + cy).reshape(-1)
     xs = (base_x + cx).reshape(-1)
     return vals.reshape(-1), ys, xs
+
+
+PATCH = 32          # Pallas window size; keypoint sits at (HALF, HALF)
+HALF = 15
+N_ANGLE_BINS = 64   # steered-BRIEF rotation quantization (5.6 deg)
+
+
+def _ic_angle_from_patches(patches, radius: int = 15):
+    """Intensity-centroid orientation from [N, PATCH, PATCH] windows whose
+    keypoint sits at (HALF, HALF). Dense masked moments — the circular mask
+    mirrors ORBextractor's umax table (ORBextractor.cc:454-479)."""
+    d = jnp.arange(PATCH, dtype=patches.dtype) - HALF
+    dy = d[:, None]
+    dx = d[None, :]
+    circ = (dy * dy + dx * dx) <= radius * radius
+    pm = patches * circ[None]
+    m10 = jnp.sum(pm * dx[None], axis=(1, 2))
+    m01 = jnp.sum(pm * dy[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def make_brief_matrix(pattern, n_bins: int = N_ANGLE_BINS):
+    """Precompute the binned steered-BRIEF difference operator.
+
+    For each rotation bin b, each bit j compares two rotated pattern
+    points; as a linear map over the flattened 32x32 patch this is a
+    +-1 two-hot column. Stacked over bins: D [PATCH*PATCH, n_bins*256],
+    so ALL bits for ALL rotations evaluate as one MXU matmul; a per-
+    keypoint one-hot bin contraction then selects its rotation — the
+    gather-free formulation of rotated BRIEF sampling.
+    """
+    pat = np.asarray(pattern)                     # [256, 4] y1 x1 y2 x2
+    D = np.zeros((PATCH * PATCH, n_bins * 256), np.float32)
+    for b in range(n_bins):
+        th = 2.0 * np.pi * b / n_bins
+        c, s = np.cos(th), np.sin(th)
+        for j in range(256):
+            y1, x1, y2, x2 = pat[j]
+            r1y = int(round(HALF + s * x1 + c * y1))
+            r1x = int(round(HALF + c * x1 - s * y1))
+            r2y = int(round(HALF + s * x2 + c * y2))
+            r2x = int(round(HALF + c * x2 - s * y2))
+            r1y = min(max(r1y, 0), PATCH - 1)
+            r1x = min(max(r1x, 0), PATCH - 1)
+            r2y = min(max(r2y, 0), PATCH - 1)
+            r2x = min(max(r2x, 0), PATCH - 1)
+            # bit = I(p1) < I(p2)  <=>  I(p2) - I(p1) > 0
+            D[r1y * PATCH + r1x, b * 256 + j] -= 1.0
+            D[r2y * PATCH + r2x, b * 256 + j] += 1.0
+    return jnp.asarray(D, jnp.bfloat16)
+
+
+def _brief_from_patches(patches, angles, D):
+    """patches [N, PATCH, PATCH] (blurred), angles [N] -> [N, 8] uint32."""
+    n = patches.shape[0]
+    n_bins = D.shape[1] // 256
+    flat = patches.reshape(n, PATCH * PATCH).astype(jnp.bfloat16)
+    vals = jnp.dot(flat, D, preferred_element_type=jnp.float32)
+    vals = vals.reshape(n, n_bins, 256)
+    bin_idx = jnp.mod(jnp.round(angles / (2.0 * jnp.pi) * n_bins)
+                      .astype(jnp.int32), n_bins)
+    onehot = (bin_idx[:, None] == jnp.arange(n_bins)[None, :])
+    diff = jnp.einsum('nbj,nb->nj', vals, onehot.astype(jnp.float32))
+    bits = (diff > 0).astype(jnp.uint32)
+    words = bits.reshape(n, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
 def _ic_angle(img, ys, xs, radius: int = 15):
@@ -158,6 +237,7 @@ class OrbExtractor:
         if total < self.n_kp:
             self.budgets[0] += self.n_kp - total
         self.pattern = make_pattern()
+        self.brief_D = make_brief_matrix(self.pattern)
         self._fn = jax.jit(self._extract)
 
     def __call__(self, img) -> Keypoints:
@@ -171,13 +251,9 @@ class OrbExtractor:
             n_l = self.budgets[l]
             if n_l <= 0:
                 continue
-            resp_hi = fast_mod.detect(lvl_img, float(o.ini_th_fast),
-                                      o.fast_arc_len, border=o.edge_threshold)
-            resp_lo = fast_mod.detect(lvl_img, float(o.min_th_fast),
-                                      o.fast_arc_len, border=o.edge_threshold)
-            # prefer high-threshold corners; low-threshold ones rank below
-            # every high one (the per-cell fallback of ORBextractor.cc:790-830)
-            resp = jnp.where(resp_hi > 0, resp_lo + 1e4, resp_lo)
+            resp = fast_mod.detect_dual(
+                lvl_img, float(o.min_th_fast), float(o.ini_th_fast),
+                o.fast_arc_len, border=o.edge_threshold)
 
             cell = max(o.cell_size // max(int(o.scale_factor ** l * 0.75), 1), 8)
             k_per_cell = max(1, min(4, math.ceil(
@@ -188,8 +264,12 @@ class OrbExtractor:
             valid = vals > 0
 
             blurred = pyr_mod.gaussian_blur(lvl_img)
-            ang = _ic_angle(lvl_img, ys, xs, radius=o.half_patch)
-            desc = _brief_descriptors(blurred, ys, xs, ang, self.pattern)
+            # Pallas DMA patch extraction (ops/patch_pallas.py) feeds both
+            # the orientation moments and the matmul-BRIEF — no gathers.
+            p_raw = extract_patches_auto(lvl_img, ys - HALF, xs - HALF, PATCH)
+            p_blur = extract_patches_auto(blurred, ys - HALF, xs - HALF, PATCH)
+            ang = _ic_angle_from_patches(p_raw, radius=o.half_patch)
+            desc = _brief_from_patches(p_blur, ang, self.brief_D)
             scale = o.scale_factor ** l
             uv = jnp.stack([xs.astype(jnp.float32) * scale,
                             ys.astype(jnp.float32) * scale], -1)

