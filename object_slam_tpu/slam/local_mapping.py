@@ -112,4 +112,5 @@ def process_new_keyframe(K, m: MapState, kf_id, scale_factors,
     m = run_local_ba(m=m, K=K, kf_id=kf_id,
                      window=cfg.caps.local_window_kf, n_fixed=8,
                      inv_sigma2_lvl=inv_sigma2_lvl)
+    m = map_ops.cull_keyframes(m, kf_id)
     return m

@@ -240,6 +240,70 @@ def triangulate_new_points(m: MapState, kf_id, n_neighbors: int,
     return m
 
 
+def cull_keyframes(m: MapState, kf_id, n_check: int = 10,
+                   redundancy: float = 0.9, min_obs: int = 3):
+    """KeyFrameCulling (LocalMapping.cc:633-697): a covisible keyframe is
+    redundant if >= 90% of its tracked points are observed by at least 3
+    other keyframes (at the same-or-finer scale in the reference; the
+    scale condition is dropped — strictly more conservative counting).
+
+    Culled KFs keep their slab row (kf_valid=False); their observations
+    are released and spanning-tree children re-parent to the culled KF's
+    parent (the reference's tree repair, KeyFrame.cc:453-545 simplified
+    to parent hoisting).
+    """
+    Kcap, N = m.kf_kp_pt.shape
+    P = m.pt_xyz.shape[0]
+    W = covisibility(m)
+    Wrow = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W[kf_id], -1)
+    _, cands = jax.lax.top_k(Wrow, n_check)
+    cand_ok = (Wrow[cands] > 0) & (cands != 0)      # never cull KF0
+
+    # per-point observer counts
+    A = incidence_bool(m)                           # [K, P]
+    obs_count = jnp.sum(A, axis=0)                  # [P]
+
+    def redundant(k):
+        kp_pt = m.kf_kp_pt[k]
+        tracked = (kp_pt >= 0) & m.kf_kp_valid[k]
+        ptc = jnp.clip(kp_pt, 0, P - 1)
+        tracked = tracked & m.pt_valid[ptc]
+        others = obs_count[ptc] - 1                 # excluding this KF
+        red = tracked & (others >= min_obs)
+        n_tr = jnp.sum(tracked.astype(jnp.int32))
+        n_red = jnp.sum(red.astype(jnp.int32))
+        return (n_tr > 10) & (n_red >= redundancy * n_tr)
+
+    is_red = jax.vmap(redundant)(cands) & cand_ok
+    # cull at most one per call (the reference loops; one-per-KF-insert
+    # keeps the map stable and the shapes static)
+    first = jnp.argmax(is_red)
+    do = jnp.any(is_red)
+    victim = jnp.where(do, cands[first], -1)
+    vc = jnp.clip(victim, 0, Kcap - 1)
+
+    kf_valid = m.kf_valid.at[vc].set(
+        jnp.where(do, False, m.kf_valid[vc]))
+    kf_kp_pt = m.kf_kp_pt.at[vc].set(
+        jnp.where(do, jnp.full((N,), -1, jnp.int32), m.kf_kp_pt[vc]))
+    # re-parent children of the victim
+    parent_of_victim = m.kf_parent[vc]
+    kf_parent = jnp.where(do & (m.kf_parent == victim),
+                          parent_of_victim, m.kf_parent)
+    return m._replace(kf_valid=kf_valid, kf_kp_pt=kf_kp_pt,
+                      kf_parent=kf_parent)
+
+
+def incidence_bool(m: MapState):
+    """[K, P] bool incidence (scatter form, no MXU)."""
+    Kcap, N = m.kf_kp_pt.shape
+    P = m.pt_xyz.shape[0]
+    A = jnp.zeros((Kcap, P), bool)
+    kk = jnp.arange(Kcap)[:, None]
+    return A.at[kk, jnp.clip(m.kf_kp_pt, 0, P - 1)].max(
+        (m.kf_kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None])
+
+
 def fuse_into_neighbors(m: MapState, kf_id, n_neighbors: int, K,
                         scale_factors, inv_sigma2_lvl, th_dist: int = 50):
     """SearchInNeighbors/Fuse (LocalMapping.cc:455-554, ORBmatcher.cc:825):

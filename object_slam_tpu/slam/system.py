@@ -66,6 +66,9 @@ class SlamSystem:
             self.map = self.map._replace(
                 kf_bow=jnp.zeros((self.cfg.caps.max_keyframes, n_words)))
 
+        from object_slam_tpu.utils.profiling import StageProfiler
+        self.profiler = StageProfiler(enabled=False)
+
         self.state = NOT_INITIALIZED
         self.last_frame: Optional[FrameData] = None
         self.velocity = np.eye(4, dtype=np.float32)   # T_cur_last
@@ -228,9 +231,10 @@ class SlamSystem:
         # --- initial pose ---
         last = self.last_frame
         T_pred = jnp.asarray(self.velocity) @ last.Tcw
-        tr = self._jit_motion(self.map, frame, last.uv, last.kp_pt,
-                              last.level, last.valid, T_pred,
-                              cfg.tracking.motion_model_radius)
+        with self.profiler.span("track.motion_model"):
+            tr = self._jit_motion(self.map, frame, last.uv, last.kp_pt,
+                                  last.level, last.valid, T_pred,
+                                  cfg.tracking.motion_model_radius)
         if int(tr.n_inliers) < 10:
             tr = self._jit_refkf(self.map, frame,
                                  jnp.int32(max(self.last_kf_id, 0)),
@@ -250,13 +254,14 @@ class SlamSystem:
             frame = self.objects.associate(self.map, frame, last)
 
         # --- local map tracking ---
-        if self.objects is not None and bool(jnp.any(frame.obj3d >= 0)):
-            tr2, self.map = self.objects.track_local_map_semantic(
-                self.map, frame, tr)
-            ref_kf = self.last_kf_id
-        else:
-            tr2, self.map, ref_kf = self._jit_local(self.map, frame, tr)
-            ref_kf = int(ref_kf)
+        with self.profiler.span("track.local_map"):
+            if self.objects is not None and bool(jnp.any(frame.obj3d >= 0)):
+                tr2, self.map = self.objects.track_local_map_semantic(
+                    self.map, frame, tr)
+                ref_kf = self.last_kf_id
+            else:
+                tr2, self.map, ref_kf = self._jit_local(self.map, frame, tr)
+                ref_kf = int(ref_kf)
         n_inl = int(tr2.n_inliers)
         ok = n_inl >= 30 or (n_inl >= 10 and self.frame_id < 5)
         self.state = OK if ok else LOST
@@ -297,10 +302,12 @@ class SlamSystem:
                     self.map, frame, tr2.Tcw, tr2.kp_pt, spawn)
                 self.last_kf_id = int(kf_id)
                 self.frames_since_kf = 0
-                self.map = self._jit_mapping(self.map, jnp.int32(kf_id))
+                with self.profiler.span("mapping.process_kf"):
+                    self.map = self._jit_mapping(self.map, jnp.int32(kf_id))
                 if self.loop_closer is not None:
-                    self.map, closed = self.loop_closer.on_keyframe(
-                        self.map, int(kf_id))
+                    with self.profiler.span("loop.on_keyframe"):
+                        self.map, closed = self.loop_closer.on_keyframe(
+                            self.map, int(kf_id))
             else:
                 self.frames_since_kf += 1
 
@@ -354,6 +361,51 @@ class SlamSystem:
             Tcw = rec.Tcr @ kf_pose[rec.ref_kf]
             out.append((rec.timestamp, Tcw, rec.tracked))
         return out
+
+    # ------------------------------------------------------------------
+    # mode / lifecycle API (System.h:64-130 parity)
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """Tracking-only: stop inserting keyframes / mutating the map
+        (System::ActivateLocalizationMode, System.cc:133-150)."""
+        self.enable_mapping = False
+
+    def deactivate_localization_mode(self):
+        self.enable_mapping = True
+
+    def reset(self):
+        """Clear map + trajectory + tracker state (System::Reset ->
+        Tracking::Reset, Tracking.cc:1769-1815). The reference also does
+        this automatically when lost with <= 5 KFs (Tracking.cc:553-561) —
+        the caller drives that policy here."""
+        self.map = init_map(self.cfg.caps, self.cfg.objects.history_capacity)
+        if self.loop_closer is not None:
+            n_words = self.loop_closer.vocab.n_words
+            self.map = self.map._replace(
+                kf_bow=jnp.zeros((self.cfg.caps.max_keyframes, n_words)))
+            self.loop_closer.consistent_groups = []
+            self.loop_closer.last_loop_kf = -10
+        if self.objects is not None:
+            self.objects.semantic_constraints = 0
+        self.state = NOT_INITIALIZED
+        self.last_frame = None
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+        self.trajectory = []
+        self._mono_ref = None
+
+    def get_tracking_state(self) -> int:
+        """NOT_INITIALIZED=0 / OK=1 / LOST=2 (Tracking.h:99-105)."""
+        return self.state
+
+    def shutdown(self, checkpoint_path: Optional[str] = None):
+        """Flush state; optionally snapshot the map (the reference's
+        Shutdown only joins threads — there are none here; the useful
+        analogue is a final checkpoint)."""
+        if checkpoint_path:
+            from object_slam_tpu.slam import checkpoint
+            checkpoint.save_system(checkpoint_path, self)
 
     @property
     def n_keyframes(self):

@@ -148,14 +148,14 @@ def select_local_points(m: MapState, kp_pt, n_local_kf: int = 16):
         (m.kf_kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None])
     votes = jnp.sum(A[:, ptc] & matched[None, :], axis=1)     # [K]
 
-    _, local_kfs = jax.lax.top_k(votes, n_local_kf)
+    _, local_kfs = jax.lax.top_k(votes, min(n_local_kf, Kcap))
     kf_ok = votes[local_kfs] > 0
 
     # local point mask: observed by any local KF
     local_mask = jnp.any(A[local_kfs] & kf_ok[:, None], axis=0) & m.pt_valid
     # compact: strongest = those with most observations
     score = jnp.where(local_mask, m.pt_n_obs, -1)
-    _, local_pts = jax.lax.top_k(score, MAX_LOCAL_POINTS)
+    _, local_pts = jax.lax.top_k(score, min(MAX_LOCAL_POINTS, P))
     local_ok = score[local_pts] >= 0
     ref_kf = local_kfs[0]
     return local_pts, local_ok, ref_kf

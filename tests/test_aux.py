@@ -1,0 +1,106 @@
+"""Tests for auxiliary subsystems: checkpoint/resume, viewer, profiling."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_slam_tpu.slam import checkpoint
+from object_slam_tpu.slam.map_state import init_map
+from object_slam_tpu.config import SlamConfig, CapacityConfig
+from object_slam_tpu.utils.profiling import StageProfiler
+
+
+def populated_map():
+    cfg = SlamConfig(caps=CapacityConfig(n_kp=64, max_points=256,
+                                         max_keyframes=8, max_objects=8))
+    m = init_map(cfg.caps, 16)
+    key = jax.random.PRNGKey(0)
+    m = m._replace(
+        pt_xyz=jax.random.normal(key, m.pt_xyz.shape),
+        pt_valid=m.pt_valid.at[:100].set(True),
+        kf_valid=m.kf_valid.at[:3].set(True),
+        kf_kp_valid=m.kf_kp_valid.at[:3].set(True),
+        kf_kp_pt=m.kf_kp_pt.at[0, :50].set(jnp.arange(50)),
+        obj_valid=m.obj_valid.at[0].set(True),
+        obj_label=m.obj_label.at[0].set(56),
+        obj_bbox=m.obj_bbox.at[0].set(jnp.array([0, 0, 0, 1, 1, 1.0])),
+        pt_obj=m.pt_obj.at[:20].set(0),
+        n_pt=jnp.int32(100), n_kf=jnp.int32(3), n_obj=jnp.int32(1))
+    return m
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        m = populated_map()
+        p = str(tmp_path / "map.npz")
+        checkpoint.save_map(p, m, {"note": "test"})
+        m2, meta = checkpoint.load_map(p)
+        assert meta["note"] == "test"
+        for f in m._fields:
+            np.testing.assert_array_equal(np.asarray(getattr(m, f)),
+                                          np.asarray(getattr(m2, f)), f)
+
+    def test_atomic_overwrite(self, tmp_path):
+        m = populated_map()
+        p = str(tmp_path / "map.npz")
+        checkpoint.save_map(p, m)
+        checkpoint.save_map(p, m._replace(n_pt=jnp.int32(7)))
+        m2, _ = checkpoint.load_map(p)
+        assert int(m2.n_pt) == 7
+
+
+class TestViewer:
+    def test_render_map_3d(self, tmp_path):
+        from object_slam_tpu.viz.renderer import render_map_3d
+        m = populated_map()
+        p = str(tmp_path / "map.png")
+        render_map_3d(m, p)
+        assert os.path.getsize(p) > 1000
+
+    def test_draw_frame(self):
+        from object_slam_tpu.viz.renderer import draw_frame
+        from object_slam_tpu.slam.frame import FrameData
+        from object_slam_tpu.semantic.object2d import empty_slab
+        N = 32
+        rgb = np.zeros((48, 64, 3), np.float32)
+        obj = empty_slab(4, 48, 64, N)
+        obj = obj._replace(
+            valid=obj.valid.at[0].set(True),
+            masks=obj.masks.at[0, 10:30, 10:30].set(True),
+            bbox=obj.bbox.at[0].set(jnp.array([10, 10, 20, 20.0])))
+        frame = FrameData(
+            timestamp=jnp.float32(0), uv_raw=jnp.full((N, 2), 20.0),
+            uv=jnp.full((N, 2), 20.0), ur=jnp.full((N,), -1.0),
+            depth=jnp.full((N,), -1.0), level=jnp.zeros(N, jnp.int32),
+            angle=jnp.zeros(N), response=jnp.zeros(N),
+            desc=jnp.zeros((N, 8), jnp.uint32), valid=jnp.ones(N, bool),
+            obj=obj, obj3d=jnp.full((4,), -1, jnp.int32),
+            kp_pt=jnp.full((N,), -1, jnp.int32), Tcw=jnp.eye(4),
+            pose_ok=jnp.array(True))
+        out = draw_frame(rgb, frame)
+        assert out.shape == (48, 64, 3) and out.dtype == np.uint8
+        assert out.sum() > 0  # something was drawn
+
+
+class TestProfiler:
+    def test_spans_and_report(self):
+        import time
+        prof = StageProfiler()
+        with prof.span("a"):
+            time.sleep(0.01)
+        with prof.span("a"):
+            time.sleep(0.01)
+        with prof.span("b"):
+            pass
+        s = prof.stats()
+        assert s["a"]["n"] == 2
+        assert s["a"]["median_ms"] >= 8.0
+        assert "a" in prof.report() and "b" in prof.report()
+
+    def test_disabled_noop(self):
+        prof = StageProfiler(enabled=False)
+        with prof.span("x"):
+            pass
+        assert prof.stats() == {}
