@@ -37,30 +37,29 @@ def feature_transform(mask):
 
     n_steps = max(int(math.ceil(math.log2(max(h, w)))), 1)
     steps = [max(h, w) >> (i + 1) for i in range(n_steps)]
-    steps = [s for s in steps if s >= 1] + [1]
+    steps = jnp.asarray([s for s in steps if s >= 1] + [1], jnp.int32)
 
-    state = (seed_y, seed_x)
-    for step in steps:
+    def round_body(i, state):
         sy, sx = state
+        step = steps[i]
         best_d = dist2(sy, sx)
-        for dy in (-step, 0, step):
-            for dx in (-step, 0, step):
-                if dy == 0 and dx == 0:
-                    continue
-                cy = jnp.roll(sy, (dy, dx), axis=(0, 1))
-                cx = jnp.roll(sx, (dy, dx), axis=(0, 1))
-                # rolled-in wrap pixels are invalid candidates at borders;
-                # their seeds are still genuine seed coords, so the distance
-                # test alone keeps correctness (a wrong far seed never wins
-                # over the true nearest which propagates separately).
-                cd = dist2(cy, cx)
-                take = cd < best_d
-                sy = jnp.where(take, cy, sy)
-                sx = jnp.where(take, cx, sx)
-                best_d = jnp.where(take, cd, best_d)
-        state = (sy, sx)
+        for dy_s, dx_s in ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+                           (0, 1), (1, -1), (1, 0), (1, 1)):
+            cy = jnp.roll(sy, (dy_s * step, dx_s * step), axis=(0, 1))
+            cx = jnp.roll(sx, (dy_s * step, dx_s * step), axis=(0, 1))
+            # rolled-in wrap pixels are invalid candidates at borders;
+            # their seeds are still genuine seed coords, so the distance
+            # test alone keeps correctness (a wrong far seed never wins
+            # over the true nearest which propagates separately).
+            cd = dist2(cy, cx)
+            take = cd < best_d
+            sy = jnp.where(take, cy, sy)
+            sx = jnp.where(take, cx, sx)
+            best_d = jnp.where(take, cd, best_d)
+        return sy, sx
 
-    sy, sx = state
+    sy, sx = jax.lax.fori_loop(0, steps.shape[0], round_body,
+                               (seed_y, seed_x))
     return jnp.stack([sy, sx], axis=-1)
 
 
@@ -79,6 +78,20 @@ def nearest_mask_pixel(ftmap, uv):
     near_uv = jnp.stack([near[..., 1], near[..., 0]], axis=-1)
     d = jnp.linalg.norm(near_uv - uv, axis=-1)
     d = jnp.where(near[..., 0] < 0, jnp.inf, d)
+    return near_uv, d
+
+
+def nearest_mask_pixel_batched(ftmaps, uv):
+    """Per-row maps: ftmaps [S, H, W, 2], uv [S, 2] -> (near_uv [S, 2],
+    dist [S]). Row i queries its own map (the semantic optimizer's
+    one-point-per-detection-map case)."""
+    S, h, w = ftmaps.shape[0], ftmaps.shape[1], ftmaps.shape[2]
+    yy = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+    xx = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
+    near = ftmaps[jnp.arange(S), yy, xx]          # [S, 2] (y, x)
+    near_uv = jnp.stack([near[:, 1], near[:, 0]], axis=-1)
+    d = jnp.linalg.norm(near_uv - uv, axis=-1)
+    d = jnp.where(near[:, 0] < 0, jnp.inf, d)
     return near_uv, d
 
 

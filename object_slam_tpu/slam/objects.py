@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from object_slam_tpu.geometry import se3, camera as cam_mod
-from object_slam_tpu.ops.distance_transform import nearest_mask_pixel
+from object_slam_tpu.ops.distance_transform import nearest_mask_pixel_batched
 from object_slam_tpu.semantic.hsv import cosine_similarity
 from object_slam_tpu.semantic.object2d import bbox_iou_2d
 from object_slam_tpu.slam.frame import FrameData
@@ -269,8 +269,9 @@ class ObjectEngine:
         #     outlier rejection
         matched_obj = jnp.zeros((J,), bool).at[
             jnp.clip(obj3d, 0, J - 1)].max(obj3d >= 0)
+        # scatter-max: invalid rows clip to index 0 and must not clobber
         det_of_obj = jnp.full((J,), -1, jnp.int32).at[
-            jnp.clip(obj3d, 0, J - 1)].set(
+            jnp.clip(obj3d, 0, J - 1)].max(
             jnp.where(obj3d >= 0, jnp.arange(I), -1))
 
         Twc = se3.inverse(frame.Tcw)
@@ -435,13 +436,13 @@ class ObjectEngine:
 
         # ------ semantic point slab: members of matched objects
         det_of_obj = jnp.full((J,), -1, jnp.int32).at[
-            jnp.clip(frame.obj3d, 0, J - 1)].set(
+            jnp.clip(frame.obj3d, 0, J - 1)].max(
             jnp.where(frame.obj3d >= 0, jnp.arange(I), -1))
         owner = jnp.clip(m.pt_obj, 0, J - 1)
         p_det = jnp.where(m.pt_obj >= 0, det_of_obj[owner], -1)  # [P]
         sem_ok = (p_det >= 0) & m.pt_valid
         score = jnp.where(sem_ok, 1.0, 0.0)
-        _, sidx = jax.lax.top_k(score, MAX_SEM_POINTS)
+        _, sidx = jax.lax.top_k(score, min(MAX_SEM_POINTS, P))
         s_ok = sem_ok[sidx]
         s_pw = m.pt_xyz[sidx]
         s_det = jnp.clip(p_det[sidx], 0, I - 1)
@@ -458,7 +459,7 @@ class ObjectEngine:
 
         def nearest(uv):
             ft = ftmaps[s_det]                                    # [S, H, W, 2]
-            return nearest_mask_pixel(ft, uv)
+            return nearest_mask_pixel_batched(ft, uv)
 
         def project(T, pw):
             pc = se3.apply(T, pw[None])[0]
