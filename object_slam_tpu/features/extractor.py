@@ -251,7 +251,7 @@ class OrbExtractor:
             n_l = self.budgets[l]
             if n_l <= 0:
                 continue
-            resp = fast_mod.detect_dual(
+            resp, raw_score = fast_mod.detect_dual(
                 lvl_img, float(o.min_th_fast), float(o.ini_th_fast),
                 o.fast_arc_len, border=o.edge_threshold)
 
@@ -270,9 +270,12 @@ class OrbExtractor:
             p_blur = extract_patches_auto(blurred, ys - HALF, xs - HALF, PATCH)
             ang = _ic_angle_from_patches(p_raw, radius=o.half_patch)
             desc = _brief_from_patches(p_blur, ang, self.brief_D)
+            # subpixel corner localization (parabola on the score surface):
+            # integer corners quantize uv to +-0.5 px level-0 * scale
+            dy, dx = fast_mod.subpixel_refine(raw_score, ys, xs)
             scale = o.scale_factor ** l
-            uv = jnp.stack([xs.astype(jnp.float32) * scale,
-                            ys.astype(jnp.float32) * scale], -1)
+            uv = jnp.stack([(xs.astype(jnp.float32) + dx) * scale,
+                            (ys.astype(jnp.float32) + dy) * scale], -1)
             outs.append(Keypoints(
                 uv=uv,
                 response=jnp.where(valid, vals, 0.0),

@@ -102,16 +102,43 @@ def detect_dual(img, th_lo: float, th_hi: float, arc_len: int = 9,
                 border: int = 3):
     """NMS'd low-threshold response with high-threshold corners boosted so
     per-cell selection prefers them (the array form of the reference's
-    per-cell threshold fallback)."""
+    per-cell threshold fallback).
+
+    Returns (ranking_response, raw_score): the first for per-cell top-k
+    ranking (with the +1e4 high-threshold boost), the second the unboosted
+    pre-NMS score map for subpixel parabola fits."""
     s_lo, s_hi = fast_score_dual(img, th_lo, th_hi, arc_len)
     s = nonmax_suppress(s_lo)
-    s = jnp.where((s > 0) & (s_hi > 0), s + 1e4, s)
+    sb = jnp.where((s > 0) & (s_hi > 0), s + 1e4, s)
     h, w = img.shape
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inb = ((ys >= border) & (ys < h - border) &
            (xs >= border) & (xs < w - border))
-    return jnp.where(inb, s, 0.0)
+    return jnp.where(inb, sb, 0.0), s_lo
+
+
+def subpixel_refine(raw_score, ys, xs):
+    """Parabolic subpixel localization on the corner-score surface.
+
+    ys, xs: [N] integer corner positions (local maxima after NMS).
+    Returns (dy, dx) in [-0.5, 0.5]. Integer FAST corners quantize the
+    measurement to +-0.5 px, which dominates pose noise at short focal
+    lengths; a 1D parabola per axis recovers most of it.
+    """
+    h, w = raw_score.shape
+    yc = jnp.clip(ys, 1, h - 2)
+    xc = jnp.clip(xs, 1, w - 2)
+
+    def fit(m, p, c):
+        denom = m + p - 2.0 * c
+        off = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (m - p) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    c = raw_score[yc, xc]
+    dy = fit(raw_score[yc - 1, xc], raw_score[yc + 1, xc], c)
+    dx = fit(raw_score[yc, xc - 1], raw_score[yc, xc + 1], c)
+    return dy, dx
 
 
 def nonmax_suppress(score):

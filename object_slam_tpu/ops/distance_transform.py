@@ -81,14 +81,15 @@ def nearest_mask_pixel(ftmap, uv):
     return near_uv, d
 
 
-def nearest_mask_pixel_batched(ftmaps, uv):
-    """Per-row maps: ftmaps [S, H, W, 2], uv [S, 2] -> (near_uv [S, 2],
-    dist [S]). Row i queries its own map (the semantic optimizer's
-    one-point-per-detection-map case)."""
-    S, h, w = ftmaps.shape[0], ftmaps.shape[1], ftmaps.shape[2]
+def nearest_mask_pixel_batched(ftmaps, map_idx, uv):
+    """Indexed maps: ftmaps [I, H, W, 2], map_idx [S] int32, uv [S, 2] ->
+    (near_uv [S, 2], dist [S]). One fused [S]-element gather — never index
+    ftmaps[map_idx] alone (that materializes S full maps; at VGA with
+    S=2048 that is a 5 GB tensor)."""
+    h, w = ftmaps.shape[1], ftmaps.shape[2]
     yy = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
     xx = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
-    near = ftmaps[jnp.arange(S), yy, xx]          # [S, 2] (y, x)
+    near = ftmaps[map_idx, yy, xx]                # [S, 2] (y, x)
     near_uv = jnp.stack([near[:, 1], near[:, 0]], axis=-1)
     d = jnp.linalg.norm(near_uv - uv, axis=-1)
     d = jnp.where(near[:, 0] < 0, jnp.inf, d)

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from object_slam_tpu.ops.distance_transform import erode, feature_transform_batch
+
+FT_CROP = 256   # per-instance feature-transform window (see build docstring)
 from object_slam_tpu.semantic import hsv as hsv_mod
 
 
@@ -34,7 +36,9 @@ class Object2DSlab(NamedTuple):
     hist: [I, 94] HSV appearance histograms.
     bbox: [I, 4] (x, y, w, h) detector boxes.
     prob: [I] detector confidence.
-    ftmap: [I, H, W, 2] nearest-mask-pixel (y, x) maps.
+    ftmap: [I, C, C, 2] nearest-mask-pixel (y, x) maps over FT_CROP-sized
+    crops, coordinates LOCAL to the crop; ft_origin [I, 2] (y0, x0) gives
+    each crop's image-frame origin.
     masks: [I, H, W] bool instance masks.
     centroid_uv: [I, 2] mean member keypoint position.
     mean_depth: [I].
@@ -48,6 +52,7 @@ class Object2DSlab(NamedTuple):
     n_kps: jnp.ndarray
     hist: jnp.ndarray
     ftmap: jnp.ndarray
+    ft_origin: jnp.ndarray
     masks: jnp.ndarray
     centroid_uv: jnp.ndarray
     mean_depth: jnp.ndarray
@@ -95,12 +100,28 @@ def build_object2ds(rgb, masks, labels, probs, bboxes, inst_valid,
     mean_depth = (w_kp @ jnp.where(depth_ok, kp_depth, 0.0)) / denom
 
     hists = hsv_mod.batched_histograms(rgb, masks)
-    ftmaps = feature_transform_batch(masks)
+
+    # feature transform on per-instance crops around the detector bbox:
+    # JFA over full VGA x I instances is ~5x more work than needed — object
+    # masks fit a FT_CROP^2 window, and the semantic optimizer's queries
+    # sit within 10 px of the mask.
+    cy = jnp.clip((bboxes[:, 1] + bboxes[:, 3] / 2).astype(jnp.int32)
+                  - FT_CROP // 2, 0, max(h - FT_CROP, 0))
+    cx = jnp.clip((bboxes[:, 0] + bboxes[:, 2] / 2).astype(jnp.int32)
+                  - FT_CROP // 2, 0, max(w - FT_CROP, 0))
+
+    def crop_one(mask, y0, x0):
+        return jax.lax.dynamic_slice(
+            mask, (y0, x0), (min(FT_CROP, h), min(FT_CROP, w)))
+
+    crops = jax.vmap(crop_one)(masks, cy, cx)
+    ftmaps = feature_transform_batch(crops)          # [I, C, C, 2] local
 
     return Object2DSlab(
         label=labels.astype(jnp.int32), prob=probs, bbox=bboxes,
         kp2obj=kp2obj.astype(jnp.int32), n_kps=n_kps, hist=hists,
-        ftmap=ftmaps, masks=masks, centroid_uv=centroid_uv,
+        ftmap=ftmaps, ft_origin=jnp.stack([cy, cx], -1),
+        masks=masks, centroid_uv=centroid_uv,
         mean_depth=mean_depth, valid=valid)
 
 
@@ -114,7 +135,8 @@ def empty_slab(max_instances: int, height: int, width: int,
         kp2obj=jnp.full((n_kp,), -1, jnp.int32),
         n_kps=jnp.zeros((I,), jnp.int32),
         hist=jnp.zeros((I, hsv_mod.HIST_DIM)),
-        ftmap=jnp.full((I, H, W, 2), -1.0),
+        ftmap=jnp.full((I, min(FT_CROP, H), min(FT_CROP, W), 2), -1.0),
+        ft_origin=jnp.zeros((I, 2), jnp.int32),
         masks=jnp.zeros((I, H, W), bool),
         centroid_uv=jnp.zeros((I, 2)),
         mean_depth=jnp.zeros((I,)),

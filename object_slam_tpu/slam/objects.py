@@ -457,9 +457,15 @@ class ObjectEngine:
 
         ftmaps = frame.obj.ftmap                                  # [I, H, W, 2]
 
+        ft_org = frame.obj.ft_origin[s_det]                   # [S, 2] (y0,x0)
+        org_uv = jnp.stack([ft_org[:, 1], ft_org[:, 0]], -1).astype(jnp.float32)
+
         def nearest(uv):
-            ft = ftmaps[s_det]                                    # [S, H, W, 2]
-            return nearest_mask_pixel_batched(ft, uv)
+            # ftmaps are FT_CROP-local (object2d.py): shift queries into the
+            # crop frame, shift answers back
+            near_l, d = nearest_mask_pixel_batched(ftmaps, s_det,
+                                                   uv - org_uv)
+            return near_l + org_uv, d
 
         def project(T, pw):
             pc = se3.apply(T, pw[None])[0]
