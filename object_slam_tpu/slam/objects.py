@@ -77,8 +77,9 @@ def match_two_frame(m: MapState, frame: FrameData, last: FrameData):
     order_best = jax.ops.segment_max(claim_score, jnp.clip(claim, 0, I - 1),
                                      num_segments=I)
     winner = best_ok & (claim_score >= order_best[jnp.clip(claim, 0, I - 1)])
-    obj3d = obj3d.at[jnp.clip(claim, 0, I - 1)].set(
-        jnp.where(winner, last.obj3d, obj3d[jnp.clip(claim, 0, I - 1)]))
+    # scatter-max: dead rows clip to det 0 and must not clobber it
+    obj3d = obj3d.at[jnp.clip(claim, 0, I - 1)].max(
+        jnp.where(winner, last.obj3d, -1))
     return obj3d
 
 
@@ -125,9 +126,8 @@ def match_map_to_frame(m: MapState, frame: FrameData, obj3d, K,
                                    jnp.clip(best_det, 0, I - 1),
                                    num_segments=I)
     winner = best_ok & (best_s >= col_best[jnp.clip(best_det, 0, I - 1)])
-    obj3d = obj3d.at[jnp.clip(best_det, 0, I - 1)].set(
-        jnp.where(winner, jnp.arange(J),
-                  obj3d[jnp.clip(best_det, 0, I - 1)]))
+    obj3d = obj3d.at[jnp.clip(best_det, 0, I - 1)].max(
+        jnp.where(winner, jnp.arange(J), -1))
     return obj3d
 
 
@@ -232,15 +232,16 @@ class ObjectEngine:
         can = create & (m.n_obj + offs < J)
         obj3d = jnp.where(can, new_slot, obj3d)
         track_ids = m.next_track_id + offs
+        # dead rows share clipped slots: send them out of bounds and DROP
+        # (duplicate-scatter last-writer-wins would clobber created rows)
+        slot_s = jnp.where(can, new_slot, J)
         m = m._replace(
-            obj_valid=m.obj_valid.at[new_slot].set(
-                jnp.where(can, True, m.obj_valid[new_slot])),
-            obj_label=m.obj_label.at[new_slot].set(
-                jnp.where(can, frame.obj.label, m.obj_label[new_slot])),
-            obj_track_id=m.obj_track_id.at[new_slot].set(
-                jnp.where(can, track_ids, m.obj_track_id[new_slot])),
-            obj_replaced=m.obj_replaced.at[new_slot].set(
-                jnp.where(can, -1, m.obj_replaced[new_slot])),
+            obj_valid=m.obj_valid.at[slot_s].set(True, mode='drop'),
+            obj_label=m.obj_label.at[slot_s].set(frame.obj.label,
+                                                 mode='drop'),
+            obj_track_id=m.obj_track_id.at[slot_s].set(track_ids,
+                                                       mode='drop'),
+            obj_replaced=m.obj_replaced.at[slot_s].set(-1, mode='drop'),
             n_obj=jnp.minimum(m.n_obj + jnp.sum(can.astype(jnp.int32)), J),
             next_track_id=m.next_track_id + jnp.sum(can.astype(jnp.int32)))
 

@@ -15,6 +15,7 @@ State machine (Tracking.h:99-105): NOT_INITIALIZED -> OK <-> LOST.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -293,6 +294,11 @@ class SlamSystem:
                 (ref_pt >= 0)
                 & (self.map.pt_n_obs[jnp.clip(ref_pt, 0, P - 1)] >= min_obs)
                 & self.map.pt_valid[jnp.clip(ref_pt, 0, P - 1)]))
+            if os.environ.get("OSLAM_DEBUG"):
+                print(f"[kf-policy] f={self.frame_id} inl={n_inl} "
+                      f"ref={ref_matches} close_trk={n_close_trk} "
+                      f"close_untrk={n_close_untrk} "
+                      f"since={self.frames_since_kf}", flush=True)
             if trk.need_new_keyframe(
                     n_inl, ref_matches, n_close_trk, n_close_untrk,
                     self.frames_since_kf,
@@ -328,13 +334,20 @@ class SlamSystem:
         midx, mok = match_mod.brute_match(
             frame.desc, frame.valid, m.pt_desc,
             m.pt_valid, th_dist=50, nn_ratio=0.75, check_rotation=False)
-        if int(jnp.sum(mok)) < 15:
+        if int(jnp.sum(mok)) < 30:
             return None
         self.rng, k = jax.random.split(self.rng)
         pw = m.pt_xyz[jnp.clip(midx, 0, P - 1)]
         res = pnp_ransac(k, self.K, pw, frame.uv, mok,
-                         min_inliers=self.cfg.solver.epnp_min_inliers)
-        if not bool(res.ok):
+                         min_inliers=max(
+                             self.cfg.solver.epnp_min_inliers, 25))
+        # a relocalization is only trusted with a strong consensus AND a
+        # sane pose (Tracking.cc:1752-1764 requires 50 inliers post-opt);
+        # accepting weak PnP poses is how a lost tracker teleports
+        if not bool(res.ok) or int(res.n_inliers) < 30:
+            return None
+        t_norm = float(jnp.linalg.norm(res.Tcw[:3, 3]))
+        if not np.isfinite(t_norm) or t_norm > 1e3:
             return None
         kp_pt = jnp.where(res.inliers, midx, -1)
         return trk.TrackResult(Tcw=res.Tcw, kp_pt=kp_pt,
