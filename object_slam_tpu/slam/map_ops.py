@@ -131,11 +131,14 @@ def cull_points(m: MapState, current_kf_id, min_found_ratio: float = 0.25):
     ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
         m.pt_visible.astype(jnp.float32), 1.0)
     age = current_kf_id - m.pt_first_kf
-    # the observation test applies only while the point is "recent"
-    # (LocalMapping.cc:186-196: age in [2, 3) with too few observations);
-    # older survivors are permanent until the found-ratio test fails
-    bad = (ratio < min_found_ratio) | \
-        ((age >= 2) & (age < 3) & (m.pt_n_obs < 3))
+    # BOTH tests apply only while the point is recent: the reference keeps
+    # candidates in mlpRecentAddedMapPoints for their first ~3 keyframes
+    # and removes them from scrutiny afterwards (LocalMapping.cc:171-206).
+    # Testing established points forever executes sporadically-matched but
+    # good landmarks and thins the map into tracking attrition.
+    recent = age < 3
+    bad = recent & ((ratio < min_found_ratio) |
+                    ((age >= 2) & (m.pt_n_obs < 3)))
     keep = m.pt_valid & ~bad
     return m._replace(pt_valid=keep,
                       pt_obj=jnp.where(keep, m.pt_obj, -1))

@@ -113,8 +113,19 @@ class SlamSystem:
 
     def _insert_impl(self, m, frame, Tcw, kp_pt, close_mask):
         frame = frame._replace(kp_pt=kp_pt)
+        # CreateNewKeyFrame spawns all close untracked points AND tops up
+        # with the nearest untracked points to >= 100 regardless of the
+        # depth threshold (Tracking.cc:1352-1396 sorts by depth and keeps
+        # inserting past thDepth until 100) — without the top-up, scenes
+        # whose structure sits beyond thDepth starve the map.
+        untracked = frame.valid & (frame.depth > 0) & (kp_pt < 0)
+        depth_key = jnp.where(untracked, -frame.depth, -jnp.inf)
+        N = frame.depth.shape[0]
+        _, nearest = jax.lax.top_k(depth_key, min(100, N))
+        topup = jnp.zeros((N,), bool).at[nearest].set(True) & untracked
+        spawn = close_mask | topup
         return map_ops.insert_keyframe(self.K, m, frame, Tcw,
-                                       self.scale_factors, close_mask)
+                                       self.scale_factors, spawn)
 
     def _mapping_impl(self, m, kf_id):
         return local_mapping.process_new_keyframe(
@@ -306,6 +317,12 @@ class SlamSystem:
                 spawn = close & ~tracked & frame.valid
                 self.map, kf_id = self._jit_insert(
                     self.map, frame, tr2.Tcw, tr2.kp_pt, spawn)
+                # adopt the spawned point bindings into the live frame so
+                # the next frame's motion-model search tracks them
+                # (CreateNewKeyFrame fills mCurrentFrame.mvpMapPoints,
+                # Tracking.cc:1352-1396) — without this, matches decay no
+                # matter how many keyframes spawn
+                frame = frame._replace(kp_pt=self.map.kf_kp_pt[int(kf_id)])
                 self.last_kf_id = int(kf_id)
                 self.frames_since_kf = 0
                 with self.profiler.span("mapping.process_kf"):

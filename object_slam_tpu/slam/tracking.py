@@ -233,4 +233,4 @@ def need_new_keyframe(n_inliers, n_ref_matches, n_close_tracked,
     c1 = frames_since_kf >= max_frames
     c2 = weak or need_close
     ok_inliers = n_inliers > 15
-    return bool(ok_inliers and (c1 or c2) and n_inliers < 350)
+    return bool(ok_inliers and (c1 or c2))

@@ -99,6 +99,60 @@ class TestObjects:
         assert n_obj_pts > 5
 
 
+class TestObjectStability:
+    def test_identities_persist_and_semopt_engages(self):
+        """Regression for the duplicate-scatter association bugs: the same
+        two physical objects must keep the same Object3D ids across the
+        whole sequence, and the semantically constrained optimizer must
+        accumulate constraints every tracked frame."""
+        cfg = small_cfg(mask_margin=3, min_kps_rgbd=4)
+        scene = SyntheticScene.make(cfg, seed=3, n_objects=2, plane_z=3.0)
+        for b in scene.boxes:
+            b['size'] = 1.0
+            b['center'][2] = 2.0
+        poses = orbit_poses(8, step=0.008)
+        sys_ = SlamSystem(cfg, enable_objects=True, enable_mapping=True)
+        ids_per_frame = []
+        for i, T in enumerate(poses):
+            gray, depth, rgb, sem = scene.render_rgbd(T)
+            sa = scene.sem_arrays(sem, cfg.semantic.max_instances)
+            f = sys_.track_rgbd(jnp.asarray(gray), jnp.asarray(depth),
+                                jnp.asarray(rgb), sa, i / 30.0)
+            ids_per_frame.append(tuple(np.asarray(f.obj3d)[:2].tolist()))
+        # stable identities from frame 0 on
+        assert len(set(ids_per_frame)) == 1, ids_per_frame
+        assert ids_per_frame[0][0] >= 0 and ids_per_frame[0][1] >= 0
+        assert int(jnp.sum(sys_.map.obj_valid)) == 2
+        assert sys_.objects.semantic_constraints > 50
+
+
+class TestKeyframePolicy:
+    def test_weak_tracking_inserts(self):
+        from object_slam_tpu.slam.tracking import need_new_keyframe
+        # healthy early-sequence state: many inliers but below 75% of ref
+        assert need_new_keyframe(
+            n_inliers=624, n_ref_matches=1024, n_close_tracked=83,
+            n_close_untracked=54, frames_since_kf=1, max_frames=30)
+
+    def test_strong_tracking_holds(self):
+        from object_slam_tpu.slam.tracking import need_new_keyframe
+        assert not need_new_keyframe(
+            n_inliers=1000, n_ref_matches=1024, n_close_tracked=400,
+            n_close_untracked=10, frames_since_kf=1, max_frames=30)
+
+    def test_max_frames_forces(self):
+        from object_slam_tpu.slam.tracking import need_new_keyframe
+        assert need_new_keyframe(
+            n_inliers=1000, n_ref_matches=1024, n_close_tracked=400,
+            n_close_untracked=10, frames_since_kf=30, max_frames=30)
+
+    def test_too_few_inliers_blocks(self):
+        from object_slam_tpu.slam.tracking import need_new_keyframe
+        assert not need_new_keyframe(
+            n_inliers=10, n_ref_matches=1024, n_close_tracked=5,
+            n_close_untracked=100, frames_since_kf=40, max_frames=30)
+
+
 class TestMapOps:
     def test_covisibility_symmetric(self):
         cfg = small_cfg()
