@@ -31,6 +31,8 @@ def build_local_ba_problem(m: MapState, kf_id, window: int, n_fixed: int):
     """
     Kcap, N = m.kf_kp_pt.shape
     P = m.pt_xyz.shape[0]
+    window = min(window, Kcap)
+    n_fixed = min(n_fixed, max(Kcap - window, 0))
     W = covisibility(m)[kf_id]
     W = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W, -1)
     _, nbrs = jax.lax.top_k(W, window - 1 + n_fixed)

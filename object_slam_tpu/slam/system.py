@@ -233,6 +233,9 @@ class SlamSystem:
                 self.state = OK
                 self.last_kf_id = int(kf_id)
                 self.frames_since_kf = 0
+                if self.loop_closer is not None:
+                    self.map, _ = self.loop_closer.on_keyframe(
+                        self.map, int(kf_id))
                 self._record(frame, True)
             else:
                 self._record(frame, False)
