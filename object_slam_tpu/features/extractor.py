@@ -109,10 +109,19 @@ HALF = 15
 N_ANGLE_BINS = 64   # steered-BRIEF rotation quantization (5.6 deg)
 
 
-def _ic_angle_from_patches(patches, radius: int = 15):
+def _ic_angle_from_patches(patches, radius: int = 15,
+                           stability_tau: float = 0.02):
     """Intensity-centroid orientation from [N, PATCH, PATCH] windows whose
     keypoint sits at (HALF, HALF). Dense masked moments — the circular mask
-    mirrors ORBextractor's umax table (ORBextractor.cc:454-479)."""
+    mirrors ORBextractor's umax table (ORBextractor.cc:454-479).
+
+    Stability gate: when the centroid magnitude is small relative to the
+    patch mass, the IC angle is noise (near-symmetric patch) and flips
+    wildly between frames, scrambling the steered descriptor — those
+    keypoints fall back to the deterministic upright orientation. (The
+    reference has the same flip-prone tail; stabilizing it is strictly
+    better for frame-to-frame retention.)
+    """
     d = jnp.arange(PATCH, dtype=patches.dtype) - HALF
     dy = d[:, None]
     dx = d[None, :]
@@ -120,7 +129,10 @@ def _ic_angle_from_patches(patches, radius: int = 15):
     pm = patches * circ[None]
     m10 = jnp.sum(pm * dx[None], axis=(1, 2))
     m01 = jnp.sum(pm * dy[None], axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    mass = jnp.sum(jnp.abs(pm), axis=(1, 2)) * radius
+    mag = jnp.sqrt(m10 * m10 + m01 * m01)
+    ang = jnp.arctan2(m01, m10)
+    return jnp.where(mag > stability_tau * mass, ang, 0.0)
 
 
 def make_brief_matrix(pattern, n_bins: int = N_ANGLE_BINS):

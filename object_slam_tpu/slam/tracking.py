@@ -191,10 +191,13 @@ def track_local_map(K, m: MapState, frame: FrameData, tr: TrackResult,
 
     ur_pred = uv[:, 0] - K.bf / jnp.maximum(z, 1e-6)
     kp_free = frame.valid & (tr.kp_pt < 0)
+    # TH_HIGH + 0.9 ratio as the reference's SearchByProjection(Frame,
+    # vpMapPoints) (ORBmatcher.cc:45-129, TH_HIGH=100, mfNNratio=0.9) —
+    # TH_LOW here starves retention of slightly-perturbed descriptors
     midx, mok = matching.search_by_projection(
         uv, lvl, m.pt_desc[local_pts], ok_search,
         frame.uv, frame.level, frame.desc, kp_free,
-        radius_per_row=radius, th_dist=50, nn_ratio=0.8,
+        radius_per_row=radius, th_dist=100, nn_ratio=0.9,
         kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius)
 
     N = frame.uv.shape[0]
