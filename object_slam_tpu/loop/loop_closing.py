@@ -51,7 +51,12 @@ class LoopCloser:
         self._jit_bow = jax.jit(self._bow_impl)
         self._jit_detect = jax.jit(self._detect_impl)
         self._jit_match_pairs = jax.jit(self._match_pairs_impl)
+        self._jit_sim3_gn = jax.jit(
+            lambda pc_q, pc_l, inl, T12, s12: sim3_solver.sim3_gn_refine(
+                self.K, pc_q, pc_l, inl, T12, s12,
+                fix_scale=self.fix_scale))
         self._jit_pose_graph = jax.jit(self._pose_graph_impl)
+        self._jit_fuse = jax.jit(self._fuse_loop_points_impl)
         self._jit_gba = jax.jit(self._gba_impl)
 
     # ------------------------------------------------------------------
@@ -150,6 +155,14 @@ class LoopCloser:
             min_inliers=self.cfg.loop.sim3_inliers)
         if not bool(res.ok):
             return False, None, None, 0
+        # GN refinement with bidirectional projection edges + χ² pruning
+        # (Optimizer::OptimizeSim3 gate: >= 20 surviving inliers,
+        # LoopClosing.cc:343-357)
+        T12, s12, inl, n_inl = self._jit_sim3_gn(
+            pc_q, pc_l, res.inliers, res.T12, res.s12)
+        if int(n_inl) < self.cfg.loop.sim3_inliers:
+            return False, None, None, 0
+        res = res._replace(T12=T12, s12=s12, inliers=inl, n_inliers=n_inl)
         # guided projection gate: project loop-side covisible points into
         # the query frame with the corrected pose; count matches
         n_total = int(res.n_inliers)  # + guided matches below
@@ -223,11 +236,77 @@ class LoopCloser:
 
         pt_new = correct_points(m.pt_xyz, jnp.clip(m.pt_ref_kf, 0, Kcap - 1),
                                 m.kf_pose, jnp.ones(Kcap), T_new, s_new)
-        # fold scale into poses: Tcw' with unit scale (stereo/RGBD s=1)
+        # fold optimized scale back into SE3 poses: Tiw = [R | t/s]
+        # (Optimizer.cc:1020-1040 recovery; identity for stereo/RGBD where
+        # every rel_s measurement pins s=1)
+        T_new = T_new.at[:, :3, 3].set(T_new[:, :3, 3] / s_new[:, None])
         m = m._replace(kf_pose=T_new, pt_xyz=pt_new,
                        kf_loop_edge=m.kf_loop_edge.at[q].set(l),
                        version=m.version + 1)
         return m
+
+    def _fuse_loop_points_impl(self, m: MapState, q, l, n_neighbors: int = 10):
+        """SearchAndFuse (LoopClosing.cc:588-615): project the loop-side
+        neighborhood's map points into the corrected query-side keyframes;
+        bind free keypoints, and where a keypoint already observes another
+        point, the loop point replaces it (the reference always prefers the
+        loop point)."""
+        from object_slam_tpu.slam.map_ops import apply_replacements
+        Kcap, N = m.kf_kp_pt.shape
+        P = m.pt_xyz.shape[0]
+        W = covisibility(m)
+
+        # loop-side point set: points observed by l's covisible group
+        nbr_l = (W[l] > 0) | (jnp.arange(Kcap) == l)
+        A = m.kf_kp_pt
+        loop_pts = jnp.zeros((P,), bool).at[
+            jnp.clip(A, 0, P - 1).reshape(-1)].max(
+            ((A >= 0) & m.kf_kp_valid & nbr_l[:, None]).reshape(-1))
+        loop_pts = loop_pts & m.pt_valid
+
+        # corrected query-side keyframes: q + its strongest covisible
+        Wq = jnp.where(m.kf_valid & (jnp.arange(Kcap) != q), W[q], -1)
+        _, nbrs = jax.lax.top_k(Wq, n_neighbors - 1)
+        kfs = jnp.concatenate([jnp.array([q], jnp.int32),
+                               nbrs.astype(jnp.int32)])
+        kf_ok = jnp.concatenate([jnp.array([True]), Wq[nbrs] > 0])
+
+        pt_ids = jnp.arange(P, dtype=jnp.int32)
+
+        def body(i, m_acc):
+            k = kfs[i]
+            lpts = loop_pts & m_acc.pt_valid
+            pc = se3.apply(m_acc.kf_pose[k], m_acc.pt_xyz[None])[0]
+            uv = cam_mod.project(self.K, pc)
+            vis = lpts & kf_ok[i] & (pc[:, 2] > 0) \
+                & cam_mod.in_image(self.K, uv)
+            midx, mok = matching.search_by_projection(
+                uv, jnp.zeros((P,), jnp.int32), m_acc.pt_desc, vis,
+                m_acc.kf_kp_uv[k], m_acc.kf_kp_level[k] * 0,
+                m_acc.kf_kp_desc[k], m_acc.kf_kp_valid[k],
+                radius_per_row=jnp.full((P,), 4.0), th_dist=50,
+                nn_ratio=None, level_window=8)
+            row = m_acc.kf_kp_pt[k]
+            mi = jnp.clip(midx, 0, N - 1)
+            existing = row[mi]
+            fresh = mok & (existing < 0)
+            row = row.at[mi].set(jnp.where(fresh, pt_ids, row[mi]))
+            m_acc = m_acc._replace(
+                kf_kp_pt=m_acc.kf_kp_pt.at[k].set(row),
+                pt_n_obs=m_acc.pt_n_obs.at[pt_ids].add(
+                    fresh.astype(jnp.int32)))
+            # loop point replaces the existing one
+            dup = mok & (existing >= 0) & (existing != pt_ids) \
+                & m_acc.pt_valid[jnp.clip(existing, 0, P - 1)] \
+                & ~loop_pts[jnp.clip(existing, 0, P - 1)]
+            ec = jnp.clip(existing, 0, P - 1)
+            fwd = jnp.arange(P, dtype=jnp.int32)
+            fwd = fwd.at[ec].set(jnp.where(dup, pt_ids, fwd[ec]))
+            replaced = jnp.zeros((P,), bool).at[ec].max(dup)
+            replaced = replaced & (fwd != jnp.arange(P))
+            return apply_replacements(m_acc, fwd, replaced)
+
+        return jax.lax.fori_loop(0, kfs.shape[0], body, m)
 
     def _gba_impl(self, m: MapState):
         Kcap, N = m.kf_kp_pt.shape
@@ -255,5 +334,6 @@ class LoopCloser:
     def _correct_loop(self, m: MapState, q: int, l: int, T12, s12):
         m = self._jit_pose_graph(m, jnp.int32(q), jnp.int32(l), T12,
                                  jnp.float32(s12))
+        m = self._jit_fuse(m, jnp.int32(q), jnp.int32(l))
         m = self._jit_gba(m)
         return m

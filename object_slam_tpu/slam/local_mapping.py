@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from object_slam_tpu.geometry import se3
 from object_slam_tpu.slam import map_ops
-from object_slam_tpu.slam.map_state import MapState, covisibility
+from object_slam_tpu.slam.map_state import (MapState, covisibility,
+                                            recompute_point_stats)
 from object_slam_tpu.solvers.ba import BAProblem, local_ba
 
 
@@ -111,6 +112,9 @@ def process_new_keyframe(K, m: MapState, kf_id, scale_factors,
     m = map_ops.fuse_into_neighbors(
         m, kf_id, n_neighbors=5, K=K,
         scale_factors=scale_factors, inv_sigma2_lvl=inv_sigma2_lvl)
+    # distinctive-descriptor re-election + normal refresh after fusion
+    # (LocalMapping::SearchInNeighbors tail, LocalMapping.cc:540-552)
+    m = recompute_point_stats(m)
     m = run_local_ba(m=m, K=K, kf_id=kf_id,
                      window=cfg.caps.local_window_kf, n_fixed=8,
                      inv_sigma2_lvl=inv_sigma2_lvl)

@@ -307,25 +307,51 @@ def incidence_bool(m: MapState):
         (m.kf_kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None])
 
 
+def apply_replacements(m: MapState, fwd, replaced):
+    """Point replacement with explicit forwarding (MapPoint::Replace,
+    MapPoint.cc): every keypoint observation of a replaced point is
+    redirected to its winner via one dense gather over the [K, N]
+    observation table; visible/found counters transfer to the winner and
+    the loser row is invalidated.
+
+    fwd [P] int32: winner id per point (fwd[p] == p when not replaced).
+    replaced [P] bool: loser rows."""
+    P = m.pt_xyz.shape[0]
+    kp = m.kf_kp_pt
+    new_kp = jnp.where(kp >= 0, fwd[jnp.clip(kp, 0, P - 1)], -1)
+    add_vis = jnp.where(replaced, m.pt_visible, 0)
+    add_fnd = jnp.where(replaced, m.pt_found, 0)
+    add_obs = jnp.where(replaced, m.pt_n_obs, 0)
+    return m._replace(
+        kf_kp_pt=new_kp,
+        pt_visible=m.pt_visible.at[fwd].add(add_vis),
+        pt_found=m.pt_found.at[fwd].add(add_fnd),
+        pt_n_obs=m.pt_n_obs.at[fwd].add(add_obs),
+        pt_valid=m.pt_valid & ~replaced,
+        pt_obj=jnp.where(replaced, -1, m.pt_obj))
+
+
 def fuse_into_neighbors(m: MapState, kf_id, n_neighbors: int, K,
                         scale_factors, inv_sigma2_lvl, th_dist: int = 50):
     """SearchInNeighbors/Fuse (LocalMapping.cc:455-554, ORBmatcher.cc:825):
     project the new KF's points into covisible neighbors; where a neighbor
-    keypoint matches closely, bind it to the point (filling missed
-    observations; full duplicate-replacement is handled by culling)."""
+    keypoint matches closely, bind it to the point if free, or replace the
+    less-observed of the two points when the keypoint already observes a
+    different one (ORBmatcher.cc:910-925's Replace arbitration)."""
     Kcap, N = m.kf_kp_pt.shape
     P = m.pt_xyz.shape[0]
     W = covisibility(m)[kf_id]
     W = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W, -1)
     _, nbrs = jax.lax.top_k(W, n_neighbors)
 
-    src_pt = m.kf_kp_pt[kf_id]
-    src_ok = src_pt >= 0
-    ptc = jnp.clip(src_pt, 0, P - 1)
-    pw = m.pt_xyz[ptc]
-    pdesc = m.pt_desc[ptc]
-
     def body(i, m_acc):
+        # re-read the source KF's bindings each iteration: a replacement in
+        # a prior neighbor pass may have forwarded some of its points
+        src_pt = m_acc.kf_kp_pt[kf_id]
+        src_ok = (src_pt >= 0) & m_acc.pt_valid[jnp.clip(src_pt, 0, P - 1)]
+        ptc = jnp.clip(src_pt, 0, P - 1)
+        pw = m_acc.pt_xyz[ptc]
+        pdesc = m_acc.pt_desc[ptc]
         nb = nbrs[i]
         nbr_ok = W[nbrs[i]] > 0
         T = m_acc.kf_pose[nb]
@@ -342,11 +368,29 @@ def fuse_into_neighbors(m: MapState, kf_id, n_neighbors: int, K,
         # bind: neighbor keypoint (unmatched) now observes the point
         row = m_acc.kf_kp_pt[nb]
         mi = jnp.clip(midx, 0, N - 1)
-        fresh = mok & (row[mi] < 0)
+        existing = row[mi]
+        fresh = mok & (existing < 0)
         row = row.at[mi].set(jnp.where(fresh, src_pt, row[mi]))
         m_acc = m_acc._replace(
             kf_kp_pt=m_acc.kf_kp_pt.at[nb].set(row),
             pt_n_obs=m_acc.pt_n_obs.at[ptc].add(fresh.astype(jnp.int32)))
+
+        # replace: keypoint already observes a different point — the one
+        # with fewer observations forwards to the other
+        dup = mok & (existing >= 0) & (existing != src_pt) \
+            & m_acc.pt_valid[jnp.clip(existing, 0, P - 1)]
+        ec = jnp.clip(existing, 0, P - 1)
+        keep_existing = m_acc.pt_n_obs[ec] >= m_acc.pt_n_obs[ptc]
+        winner = jnp.where(keep_existing, existing, src_pt)
+        loser = jnp.where(keep_existing, src_pt, existing)
+        lc = jnp.clip(loser, 0, P - 1)
+        fwd = jnp.arange(P, dtype=jnp.int32)
+        # last scatter wins on (rare) duplicate losers — consistent with the
+        # reference's sequential Replace calls
+        fwd = fwd.at[lc].set(jnp.where(dup, winner, fwd[lc]))
+        replaced = jnp.zeros((P,), bool).at[lc].max(dup)
+        replaced = replaced & (fwd != jnp.arange(P))
+        m_acc = apply_replacements(m_acc, fwd, replaced)
         return m_acc
 
     return jax.lax.fori_loop(0, n_neighbors, body, m)

@@ -167,28 +167,75 @@ def point_observers(m: MapState, pt_ids):
     return A.T[pt_ids]
 
 
-def recompute_point_stats(m: MapState) -> MapState:
-    """Refresh pt_normal / pt_min_dist / pt_max_dist / pt_n_obs / descriptors'
-    companions from the observation structure (MapPoint::UpdateNormalAndDepth
-    + ComputeDistinctiveDescriptors are amortized here as one dense pass).
+def recompute_point_stats(m: MapState, max_observers: int = 8) -> MapState:
+    """Refresh pt_normal / pt_n_obs / pt_desc from the observation structure
+    — `MapPoint::UpdateNormalAndDepth` + `ComputeDistinctiveDescriptors`
+    (MapPoint.cc) amortized as one dense pass.
 
-    Distinctive descriptor: the reference picks the member descriptor with
-    least median distance to the others; we keep the descriptor captured at
-    creation and refresh only the geometric stats — matching behavior is
-    dominated by the geometry gates. (Documented deviation.)
+    Distinctive descriptor: the reference elects the member descriptor with
+    least median Hamming distance to the others. Here that election runs
+    over each point's first `max_observers` observing keyframes (earliest
+    first — capped so the pairwise-distance tensor stays [P, M, M] instead
+    of [P, K, K]); points with more observers use a subsample, which is the
+    same estimator on a prefix of the observation list.
     """
+    Kcap = m.kf_kp_pt.shape[0]
+    P = m.pt_xyz.shape[0]
+    N = m.kf_kp_pt.shape[1]
+    M = min(max_observers, Kcap)
+
     A = incidence(m)                                   # [K, P]
     n_obs = jnp.sum(A, axis=0).astype(jnp.int32)
+
+    # top-M observers per point, earliest keyframe first
+    score = jnp.where(A.T, Kcap - jnp.arange(Kcap, dtype=jnp.int32)[None, :], 0)
+    vals, obs_kf = jax.lax.top_k(score, M)             # [P, M]
+    obs_ok = vals > 0
+
+    # which keypoint of KF k observes point p
+    kp_of = jnp.full((Kcap, P), -1, jnp.int32)
+    kk = jnp.arange(Kcap)[:, None]
+    obs_mask = (m.kf_kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    kp_of = kp_of.at[kk, jnp.clip(m.kf_kp_pt, 0, P - 1)].max(
+        jnp.where(obs_mask, jnp.arange(N, dtype=jnp.int32)[None, :], -1))
+
+    pid = jnp.arange(P, dtype=jnp.int32)[:, None]
+    kp_idx = kp_of[obs_kf, pid]                        # [P, M]
+    desc = m.kf_kp_desc[obs_kf, jnp.clip(kp_idx, 0, N - 1)]   # [P, M, 8]
+    obs_ok = obs_ok & (kp_idx >= 0)
+
+    # pairwise Hamming, median per member, argmin election
+    x = desc[:, :, None, :] ^ desc[:, None, :, :]
+    dist = jnp.sum(_popcount32(x), axis=-1).astype(jnp.int32)  # [P, M, M]
+    pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
+    dist = jnp.where(pair_ok, dist, 9999)
+    ds = jnp.sort(dist, axis=-1)
+    n_valid = jnp.sum(obs_ok, axis=-1)                 # [P]
+    med_idx = jnp.clip((n_valid - 1) // 2, 0, M - 1)
+    med = jnp.take_along_axis(
+        ds, jnp.broadcast_to(med_idx[:, None, None], (P, M, 1)), -1)[..., 0]
+    med = jnp.where(obs_ok, med, 10000)
+    best = jnp.argmin(med, axis=-1)                    # [P]
+    new_desc = jnp.take_along_axis(
+        desc, best[:, None, None].repeat(desc.shape[-1], -1), 1)[:, 0]
+    use = m.pt_valid & (n_valid > 0)
+    pt_desc = jnp.where(use[:, None], new_desc, m.pt_desc)
+
+    # mean viewing direction over the same observer set
     C = camera_centers(m)                              # [K, 3]
-    # mean viewing direction
-    d = m.pt_xyz[None, :, :] - C[:, None, :]           # [K, P, 3]
-    norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    dn = jnp.where(A[..., None], d / jnp.maximum(norm, 1e-9), 0.0)
-    normal = jnp.sum(dn, axis=0)
+    d = m.pt_xyz[:, None, :] - C[obs_kf]               # [P, M, 3]
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    normal = jnp.sum(jnp.where(obs_ok[..., None], dn, 0.0), axis=1)
     nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
     normal = normal / jnp.maximum(nn, 1e-9)
-    return m._replace(pt_normal=normal,
+    normal = jnp.where(use[:, None], normal, m.pt_normal)
+
+    return m._replace(pt_desc=pt_desc, pt_normal=normal,
                       pt_n_obs=jnp.where(m.pt_valid, n_obs, 0))
+
+
+def _popcount32(x):
+    return jax.lax.population_count(x)
 
 
 def label_slot(labels_whitelist):

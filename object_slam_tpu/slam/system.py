@@ -344,16 +344,30 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame):
-        """Relocalization via PnP on all map points (Tracking.cc:1606;
-        candidate selection via BoW arrives with the loop module — until
-        then we PnP against the strongest recent keyframes' points)."""
+        """Relocalization (Tracking.cc:1606): BoW inverted-index candidate
+        keyframes (KeyFrameDatabase::DetectRelocalizationCandidates,
+        KeyFrameDatabase.cc:199-310) narrow the point set, then PnP RANSAC
+        over descriptor matches. Without a vocabulary (loop module off) the
+        match runs against the whole map-point slab."""
         m = self.map
         P = m.pt_xyz.shape[0]
-        # match frame descriptors against all valid map points
+        pt_sel = m.pt_valid
+        if self.loop_closer is not None and m.kf_bow.shape[1] > 1:
+            from object_slam_tpu.loop import kfdb
+            _, bow = self.loop_closer.vocab.transform(frame.desc, frame.valid)
+            cand, _ = kfdb.detect_reloc_candidates(m.kf_bow, m.kf_valid, bow)
+            if bool(jnp.any(cand)):
+                A = m.kf_kp_pt
+                cand_pts = jnp.zeros((P,), bool).at[
+                    jnp.clip(A, 0, P - 1).reshape(-1)].max(
+                    ((A >= 0) & m.kf_kp_valid & cand[:, None]).reshape(-1))
+                if int(jnp.sum(cand_pts & m.pt_valid)) >= 50:
+                    pt_sel = cand_pts & m.pt_valid
+        # match frame descriptors against the candidate point set
         from object_slam_tpu.features import matching as match_mod
         midx, mok = match_mod.brute_match(
             frame.desc, frame.valid, m.pt_desc,
-            m.pt_valid, th_dist=50, nn_ratio=0.75, check_rotation=False)
+            pt_sel, th_dist=50, nn_ratio=0.75, check_rotation=False)
         if int(jnp.sum(mok)) < 30:
             return None
         self.rng, k = jax.random.split(self.rng)
