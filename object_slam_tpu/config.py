@@ -214,6 +214,22 @@ class SlamConfig:
         return SlamConfig()
 
     @staticmethod
+    def euroc_stereo() -> "SlamConfig":
+        """Rectified EuRoC MAV pair (Examples/Stereo/EuRoC.yaml Camera.*).
+        Use datasets.euroc.euroc_camera_config to derive the camera block
+        from a calibration YAML instead of these constants."""
+        cam = CameraConfig(
+            fx=435.2046959714599, fy=435.2046959714599,
+            cx=367.4517211914062, cy=252.2008514404297,
+            dist=(0.0, 0.0, 0.0, 0.0, 0.0), width=752, height=480,
+            fps=20.0, bf=47.90639384423901, th_depth=35.0,
+            depth_map_factor=1.0)
+        orb = OrbConfig(n_features=1200)
+        caps = CapacityConfig(n_kp=1280, max_points=49152, max_keyframes=768)
+        return SlamConfig(camera=cam, orb=orb, caps=caps,
+                          sensor="stereo", indoor=True)
+
+    @staticmethod
     def kitti_stereo() -> "SlamConfig":
         cam = CameraConfig(
             fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,

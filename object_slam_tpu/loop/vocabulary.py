@@ -110,6 +110,103 @@ class Vocabulary:
         return Vocabulary(centers, idf)
 
     @staticmethod
+    def load_dbow2_text(path: str) -> "Vocabulary":
+        """Load a DBoW2 text vocabulary (the ORBvoc.txt format consumed at
+        `System.cc:69` via `ORBVocabulary::loadFromTextFile`).
+
+        Format: header line `k L scoring weighting`, then one line per
+        node in creation order: `parentId isLeaf b0 .. b31 weight`.
+        The tree is re-laid into this class's dense complete-k-ary
+        level-major tables; missing children (clusters that split into
+        fewer than k) are filled with a duplicate of their first sibling,
+        which argmin-descent never prefers over the original (first
+        occurrence wins ties), so descent behavior is preserved. Word ids
+        are leaf positions in the complete tree — internally consistent,
+        not DBoW2's leaf-order numbering (only relative scores matter).
+        """
+        with open(path) as f:
+            header = f.readline().split()
+            k, depth = int(header[0]), int(header[1])
+            parent_ids, descs, weights = [], [], []
+            for line in f:
+                v = line.split()
+                if len(v) < 35:
+                    continue
+                parent_ids.append(int(v[0]))
+                descs.append([int(x) for x in v[2:34]])
+                weights.append(float(v[34]))
+        parent_ids = np.asarray(parent_ids, np.int64)
+        descs = np.asarray(descs, np.uint8).view(np.uint32).reshape(-1, 8)
+        weights = np.asarray(weights)
+
+        # node ids: 0 = implicit root, file row i = node i+1
+        n_nodes = len(parent_ids) + 1
+        children = [[] for _ in range(n_nodes)]
+        for i, p in enumerate(parent_ids):
+            children[p].append(i + 1)
+
+        centers = [np.zeros((k ** (l + 1), 8), np.uint32)
+                   for l in range(depth)]
+        idf = np.zeros(k ** depth)
+
+        def place(node, level, slot, desc_row, weight):
+            """Write node's center at centers[level][slot] and lay out its
+            subtree. Early leaves (isLeaf before the bottom level) and
+            short sibling lists pad with duplicates — argmin descent picks
+            the first of equal-distance candidates, so duplicates are
+            unreachable and behavior is preserved."""
+            centers[level][slot] = descs[desc_row]
+            if level == depth - 1:
+                idf[slot] = weight
+                return
+            kids = children[node] if node >= 0 else []
+            if not kids:          # early leaf: propagate itself downward
+                place(-1, level + 1, slot * k, desc_row, weight)
+                for ci in range(1, k):
+                    centers[level + 1][slot * k + ci] = descs[desc_row]
+                return
+            for ci, c in enumerate(kids[:k]):
+                place(c, level + 1, slot * k + ci,
+                      c - 1, weights[c - 1])
+            for ci in range(len(kids), k):   # pad with first sibling
+                first = kids[0]
+                centers[level + 1][slot * k + ci] = descs[first - 1]
+
+        roots = children[0]
+        for ci, c in enumerate(roots[:k]):
+            place(c, 0, ci, c - 1, weights[c - 1])
+        for ci in range(len(roots), k):
+            if roots:
+                centers[0][ci] = descs[roots[0] - 1]
+        return Vocabulary(centers, idf)
+
+    def save_dbow2_text(self, path: str):
+        """Write this vocabulary in the DBoW2 text format (ORBvoc.txt):
+        header `k L scoring weighting`, then `parentId isLeaf b0..b31 w`
+        per node in level-major order. scoring=0 (L1), weighting=0
+        (TF-IDF) — DBoW2's defaults for ORB vocabularies."""
+        k, depth = self.branching, self.depth
+        # node id of (level, slot): root=0, then level-major
+        offset = [1]
+        for l in range(depth):
+            offset.append(offset[-1] + k ** (l + 1))
+
+        def node_id(level, slot):
+            return offset[level] + slot
+
+        idf = np.asarray(self.idf)
+        with open(path, "w") as f:
+            f.write(f"{k} {depth} 0 0\n")
+            for l in range(depth):
+                c = np.asarray(self.centers[l]).view(np.uint8)
+                for s in range(k ** (l + 1)):
+                    parent = 0 if l == 0 else node_id(l - 1, s // k)
+                    is_leaf = 1 if l == depth - 1 else 0
+                    w = idf[s] if is_leaf else 0.0
+                    bytes_str = " ".join(str(int(b)) for b in c[s])
+                    f.write(f"{parent} {is_leaf} {bytes_str} {w}\n")
+
+    @staticmethod
     def train_random(branching: int = 10, depth: int = 3, seed: int = 0,
                      n_train: int = 20000) -> "Vocabulary":
         """Seeded random-descriptor vocabulary — a structure-only stand-in

@@ -180,3 +180,43 @@ class TestLoopClosing:
         err_after = float(jnp.linalg.norm(
             se3.log(m2.kf_pose[5] @ jnp.linalg.inv(T_true[0]))))
         assert err_after < err_before * 0.5, (err_before, err_after)
+
+
+class TestDBoW2Text:
+    def test_roundtrip_preserves_transform(self, tmp_path):
+        vocab = Vocabulary.train_random(branching=3, depth=3, seed=4,
+                                        n_train=3000)
+        p = str(tmp_path / "voc.txt")
+        vocab.save_dbow2_text(p)
+        vocab2 = Vocabulary.load_dbow2_text(p)
+        assert vocab2.branching == 3 and vocab2.depth == 3
+        desc = rand_desc(jax.random.PRNGKey(9), 120)
+        w1, b1 = vocab.transform(desc, jnp.ones(120, bool))
+        w2, b2 = vocab2.transform(desc, jnp.ones(120, bool))
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   atol=1e-6)
+
+    def test_unbalanced_tree_loads(self, tmp_path):
+        # a k=2, L=2 tree where the root's second child is an early leaf
+        # (no children): 2 root kids, kid1 has 2 leaves, kid2 has none
+        lines = ["2 2 0 0"]
+        d = lambda v: " ".join([str(v)] * 32)
+        lines.append(f"0 0 {d(1)} 0.0")    # node 1: root child A
+        lines.append(f"0 1 {d(200)} 0.7")  # node 2: root child B, early leaf
+        lines.append(f"1 1 {d(2)} 0.5")    # node 3: leaf under A
+        lines.append(f"1 1 {d(3)} 0.4")    # node 4: leaf under A
+        p = str(tmp_path / "voc.txt")
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        vocab = Vocabulary.load_dbow2_text(p)
+        # a descriptor equal to the early leaf descends to its propagated
+        # word; one equal to leaf d(2) reaches word slot of that leaf
+        desc_a = jnp.asarray(
+            np.full((32,), 2, np.uint8).view(np.uint32)[None].repeat(1, 0))
+        w, _ = vocab.transform(desc_a, jnp.ones(1, bool))
+        assert int(w[0]) == 0  # leaf d(2) is word slot 0 under child A
+        desc_b = jnp.asarray(
+            np.full((32,), 200, np.uint8).view(np.uint32)[None])
+        w, _ = vocab.transform(desc_b, jnp.ones(1, bool))
+        assert int(w[0]) == 2  # early leaf propagated to slot 1*k+0
