@@ -280,6 +280,9 @@ class SlamSystem:
         n_inl = int(tr2.n_inliers)
         ok = n_inl >= 30 or (n_inl >= 10 and self.frame_id < 5)
         self.state = OK if ok else LOST
+        # per-frame stage snapshots for diagnostics (scripts/diag_retention)
+        self.debug_last = {"tr_motion": tr, "tr_local": tr2,
+                           "T_pred": T_pred, "frame": frame}
 
         frame = frame._replace(Tcw=tr2.Tcw, kp_pt=tr2.kp_pt,
                                pose_ok=jnp.array(ok))

@@ -36,6 +36,7 @@ class TrackResult(NamedTuple):
     inlier: jnp.ndarray         # [N] bool pose-opt inliers
     n_matches: jnp.ndarray      # [] int32
     n_inliers: jnp.ndarray
+    kp_pt_all: jnp.ndarray = None   # [N] pre-inlier-filter match table
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +98,8 @@ def _optimize_from_matches(K, m, frame, T0, kp_pt, inv_sigma2_lvl,
     Tcw, inlier, n_inl = pose_optimize(K, T0, obs)
     kp_pt_out = jnp.where(inlier, kp_pt, -1)
     return TrackResult(Tcw=Tcw, kp_pt=kp_pt_out, inlier=inlier,
-                       n_matches=n_matches, n_inliers=n_inl)
+                       n_matches=n_matches, n_inliers=n_inl,
+                       kp_pt_all=kp_pt)
 
 
 # ---------------------------------------------------------------------------

@@ -91,47 +91,81 @@ def huber_weight(chi2, delta2):
     return jnp.where(chi2 <= delta2, 1.0, d / a)
 
 
-def _gn_step(K, Tcw, obs, active, chi2_mono, chi2_stereo, damping):
+def robust_cost(chi2, delta2, active):
+    """Total Huber cost: rho(chi2) = chi2 if <= delta2 else
+    2 delta sqrt(chi2) - delta2 (g2o RobustKernelHuber::robustify)."""
+    rho = jnp.where(chi2 <= delta2, chi2,
+                    2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2)
+    return jnp.sum(jnp.where(active, rho, 0.0))
+
+
+def _lm_step(K, Tcw, lam, obs, active, chi2_mono, chi2_stereo):
+    """One Levenberg-Marquardt step with cost-gated acceptance.
+
+    Unguarded GN is NOT safe here: on ill-conditioned geometry (e.g. a
+    quasi-planar scene) the Gauss-Newton step along the small-eigenvalue
+    direction overshoots far outside the linearization's validity, the
+    robust cost INCREASES, and IRLS then sits at a spurious stationary
+    point (measured: a 4.8x-cost wrong pose 70 mm from the true optimum,
+    reached in one step). g2o's LM (the reference backend for
+    Optimizer::PoseOptimization, Optimizer.cc:253) rejects such steps;
+    so must we.
+    """
     r, J, stereo, z = reproj_residual_jac(K, Tcw, obs)
+    ok = active & obs.valid & (z > 0)
     chi2 = edge_chi2(r, obs.inv_sigma2, stereo)
     delta2 = jnp.where(stereo, chi2_stereo, chi2_mono)
+    cost0 = robust_cost(chi2, delta2, ok)
     w = huber_weight(chi2, delta2) * obs.inv_sigma2
-    w = jnp.where(active & obs.valid & (z > 0), w, 0.0)
+    w = jnp.where(ok, w, 0.0)
 
-    # H = sum J^T W J ; b = sum J^T W r  (W diagonal per edge rows)
     Jw = J * w[..., None, None]
     H = jnp.einsum('nij,nik->jk', Jw, J)
-    b = -jnp.einsum('nij,ni->j', Jw, r)      # GN: H dx = -J^T W e
-    H = H + damping * jnp.eye(6, dtype=H.dtype)
-    dx = jnp.linalg.solve(H, b)
-    return se3.retract(Tcw, dx), chi2, stereo
+    b = -jnp.einsum('nij,ni->j', Jw, r)      # H dx = -J^T W e
+    # Marquardt scaling: damp by lam * diag(H) (+ floor for zero columns)
+    dH = jnp.diagonal(H)
+    Hd = H + jnp.diag(lam * dH + 1e-8)
+    dx = jnp.linalg.solve(Hd, b)
+    T2 = se3.retract(Tcw, dx)
+
+    r2, _, stereo2, z2 = reproj_residual_jac(K, T2, obs)
+    chi2_2 = edge_chi2(r2, obs.inv_sigma2, stereo2)
+    cost1 = robust_cost(chi2_2, delta2, active & obs.valid & (z2 > 0))
+
+    good = (cost1 < cost0) & jnp.all(jnp.isfinite(dx))
+    Tn = jnp.where(good, T2, Tcw)
+    lam_n = jnp.where(good, jnp.maximum(lam * 0.5, 1e-9),
+                      jnp.minimum(lam * 4.0, 1e6))
+    return Tn, lam_n
 
 
 def pose_optimize(K: Intrinsics, Tcw0, obs: PoseObs,
                   rounds: int = 4, iters_per_round: int = 10,
                   chi2_mono: float = 5.991, chi2_stereo: float = 7.815,
-                  damping: float = 1e-5):
-    """The reference's 4x10 schedule with inter-round chi2 re-gating.
+                  damping: float = 1e-3):
+    """The reference's 4x10 LM schedule with inter-round chi2 re-gating
+    (Optimizer.cc:239-451). `damping` is the initial LM lambda.
 
     Returns (Tcw, inlier_mask [N], n_inliers).
     """
 
     def round_body(ri, carry):
-        Tcw, active = carry
+        Tcw, lam, active = carry
 
-        def it_body(_, T):
-            T2, _, _ = _gn_step(K, T, obs, active, chi2_mono, chi2_stereo, damping)
-            return T2
+        def it_body(_, c):
+            T, l = c
+            return _lm_step(K, T, l, obs, active, chi2_mono, chi2_stereo)
 
-        Tcw = jax.lax.fori_loop(0, iters_per_round, it_body, Tcw)
+        Tcw, lam = jax.lax.fori_loop(0, iters_per_round, it_body, (Tcw, lam))
         # re-gate: recompute chi2 at the new pose over ALL valid edges so
         # edges can re-enter (matches Optimizer.cc:408-440 setLevel toggling)
         r, _, stereo, z = reproj_residual_jac(K, Tcw, obs)
         chi2 = edge_chi2(r, obs.inv_sigma2, stereo)
         gate = jnp.where(stereo, chi2_stereo, chi2_mono)
         active = obs.valid & (chi2 <= gate) & (z > 0)
-        return Tcw, active
+        return Tcw, lam, active
 
     active0 = obs.valid
-    Tcw, active = jax.lax.fori_loop(0, rounds, round_body, (Tcw0, active0))
+    Tcw, _, active = jax.lax.fori_loop(
+        0, rounds, round_body, (Tcw0, jnp.float32(damping), active0))
     return Tcw, active, jnp.sum(active.astype(jnp.int32))
