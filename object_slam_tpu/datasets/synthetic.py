@@ -45,6 +45,28 @@ def _tex_sample(tex, u, v):
             + tex[v1, u0] * (1 - fu) * fv + tex[v1, u1] * fu * fv)
 
 
+def _undistort_grid(h, w, fx, fy, cx, cy, dist, iters: int = 10):
+    """Per-pixel ideal (undistorted) normalized coordinates for a camera
+    whose IMAGE GRID is distorted: pixel (u, v) of the rendered image is
+    the distorted observation of normalized ray (xn, yn, 1). Fixed-point
+    inversion of the radial-tangential model (same recursion as
+    geometry/camera.undistort_points, so the renderer and the front end
+    agree on the model)."""
+    k1, k2, p1, p2, k3 = dist
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    xd = (xs - cx) / fx
+    yd = (ys - cy) / fy
+    xn, yn = xd.copy(), yd.copy()
+    for _ in range(iters):
+        r2 = xn * xn + yn * yn
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = xn * radial + 2.0 * p1 * xn * yn + p2 * (r2 + 2.0 * xn * xn)
+        dy = yn * radial + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xn * yn
+        xn -= dx - xd
+        yn -= dy - yd
+    return np.stack([xn, yn, np.ones_like(xn)], axis=-1).astype(np.float32)
+
+
 @dataclass
 class SyntheticScene:
     h: int
@@ -59,6 +81,7 @@ class SyntheticScene:
     tex: np.ndarray            # [TH, TW] texture plane at z = plane_z
     plane_z: float
     boxes: List[dict]          # object boxes {center, size, label, tex}
+    rays: np.ndarray = None    # [H, W, 3] per-pixel camera rays (z = 1)
 
     @staticmethod
     def make(cfg, seed=0, n_objects=2, plane_z=4.0):
@@ -74,10 +97,17 @@ class SyntheticScene:
                 size=rng.uniform(0.4, 0.7),
                 label=int([56, 62, 73][i % 3]),
                 tex=_smooth_texture(rng, 64)))
+        # Lens model: the rendered image is DISTORTED exactly like the real
+        # sensor the config describes (TUM2 has strong k1/k2/k3), so the
+        # front end's undistortion path is exercised end-to-end. A pinhole
+        # render under a distorted config would inject a position-dependent
+        # systematic warp into every synthetic e2e metric.
+        rays = _undistort_grid(cam.height, cam.width, cam.fx, cam.fy,
+                               cam.cx, cam.cy, cam.dist)
         return SyntheticScene(h=cam.height, w=cam.width,
                               fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
                               bf=cam.bf, rng=rng, tex=tex,
-                              plane_z=plane_z, boxes=boxes)
+                              plane_z=plane_z, boxes=boxes, rays=rays)
 
     # ------------------------------------------------------------------
     def render_rgbd(self, Tcw: np.ndarray):
@@ -86,10 +116,13 @@ class SyntheticScene:
         h, w = self.h, self.w
         Twc = np.linalg.inv(Tcw)
         R, t = Twc[:3, :3], Twc[:3, 3]
-        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
-        dirs = np.stack([(xs - self.cx) / self.fx,
-                         (ys - self.cy) / self.fy,
-                         np.ones_like(xs)], axis=-1)     # camera rays
+        if self.rays is not None:
+            dirs = self.rays
+        else:
+            ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+            dirs = np.stack([(xs - self.cx) / self.fx,
+                             (ys - self.cy) / self.fy,
+                             np.ones_like(xs)], axis=-1)     # camera rays
         dirs_w = dirs @ R.T
         o = t
 
