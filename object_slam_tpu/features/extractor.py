@@ -11,9 +11,10 @@ TPU redesign:
   * Quadtree distribution -> per-cell top-k: response maps fold into
     [rows, cols, cell*cell] blocks; argmax per cell + global top-n_l keeps
     the same spatial-uniformity contract with static shapes.
-  * The descriptor pattern is a seeded random Gaussian pattern (BRIEF's
-    original construction) rather than OpenCV's learned bit_pattern_31 —
-    self-contained data, equivalent matching behavior class.
+  * The descriptor pattern is a decorrelated pattern learned from scratch
+    with the rBRIEF construction (scripts/train_brief_pattern.py) — the
+    same recipe that produced the reference's bit_pattern_31, relearned on
+    our own corpus rather than copied.
   * Orientation + descriptors evaluate for all N keypoints as one batched
     gather (31x31 patches) + sign comparisons -> bit-packed uint32[8].
 
@@ -24,6 +25,7 @@ mask; coordinates are level-0 (scaled-up) pixels as in the reference.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -56,8 +58,22 @@ class Keypoints(NamedTuple):
         return self.uv.shape[0]
 
 
+_PATTERN_FILE = os.path.join(os.path.dirname(__file__), "brief_pattern.npy")
+
+
 def make_pattern(n_bits: int = 256, patch_radius: int = 13, seed: int = 7):
-    """Seeded Gaussian BRIEF pattern: [n_bits, 4] (y1, x1, y2, x2)."""
+    """BRIEF test pattern: [n_bits, 4] (y1, x1, y2, x2).
+
+    Prefers the learned decorrelated pattern (rBRIEF construction — the
+    same recipe as the reference's bit_pattern_31, ORBextractor.cc:448-450,
+    re-learned from scratch by scripts/train_brief_pattern.py). Falls back
+    to a seeded Gaussian pattern when the trained file is absent; the
+    random pattern's correlated bits measurably cost frame-to-frame match
+    retention (BENCHMARKS.md round-1 limitation)."""
+    if os.path.exists(_PATTERN_FILE):
+        pat = np.load(_PATTERN_FILE)
+        if pat.shape == (n_bits, 4):
+            return jnp.asarray(pat, jnp.float32)
     rng = np.random.RandomState(seed)
     sigma = patch_radius / 2.0
     pts = np.clip(rng.randn(n_bits, 4) * sigma, -patch_radius, patch_radius)

@@ -71,7 +71,13 @@ def distort_normalized(dist, xn):
     return jnp.stack([xd, yd], axis=-1)
 
 
-def undistort_points(K: Intrinsics, uv, iters: int = 8):
+# Shared fixed-point iteration count for inverting the radial-tangential
+# model; datasets/synthetic.py uses the same constant so the renderer and
+# the front end agree on the inverse model by construction.
+UNDISTORT_ITERS = 8
+
+
+def undistort_points(K: Intrinsics, uv, iters: int = UNDISTORT_ITERS):
     """Iterative undistortion (fixed-point, as cv::undistortPoints does).
 
     [..., 2] distorted pixels -> [..., 2] undistorted pixels. Fixed iteration

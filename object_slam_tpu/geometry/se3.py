@@ -131,9 +131,24 @@ def apply(T, p):
     return p @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
 
 
+def orthonormalize(T):
+    """Project the rotation block back onto SO(3) (symmetric polar factor
+    via one Newton sweep: R <- R (3 I - R^T R) / 2, exact to O(E^2)).
+
+    Composed float32 retractions drift the rotation off the manifold by
+    ~1e-6/step; over hundreds of frames that reads as a phantom rotation
+    of degrees in trace-based metrics and eventually biases projection.
+    One Newton step per frame keeps the drift at float32 noise."""
+    R = T[..., :3, :3]
+    RtR = jnp.swapaxes(R, -1, -2) @ R
+    R = R @ (1.5 * jnp.eye(3, dtype=T.dtype) - 0.5 * RtR)
+    return T.at[..., :3, :3].set(R)
+
+
 def retract(T, xi):
-    """Left-multiplicative update exp(xi) * T (g2o VertexSE3Expmap::oplus)."""
-    return exp(xi) @ T
+    """Left-multiplicative update exp(xi) * T (g2o VertexSE3Expmap::oplus),
+    re-projected onto SE(3)."""
+    return orthonormalize(exp(xi) @ T)
 
 
 def to_quat_trans(T):

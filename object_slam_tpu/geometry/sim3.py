@@ -68,7 +68,9 @@ def log(T, s):
 
 def retract(T, s, xi):
     dT, ds = exp(xi)
-    return compose(dT, ds, T, s)
+    Tn, sn = compose(dT, ds, T, s)
+    # keep R on SO(3) across composed float32 updates (see se3.orthonormalize)
+    return se3.orthonormalize(Tn), sn
 
 
 def error(Ta, sa, Tb, sb):

@@ -18,6 +18,7 @@ the reference's mvConsistentGroups.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -25,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from object_slam_tpu.features import matching
-from object_slam_tpu.geometry import se3, camera as cam_mod
+from object_slam_tpu.geometry import se3, sim3, camera as cam_mod
 from object_slam_tpu.loop import kfdb
 from object_slam_tpu.loop.vocabulary import Vocabulary, l1_score
 from object_slam_tpu.slam.map_state import MapState, covisibility
@@ -36,13 +37,26 @@ from object_slam_tpu.solvers.pose_graph import (PoseGraphProblem,
                                                 correct_points)
 
 
+_VOCAB_FILE = os.path.join(os.path.dirname(__file__), "vocab_synth.txt")
+
+
+def default_vocabulary(cfg) -> Vocabulary:
+    """Corpus-trained vocabulary (scripts/train_vocab.py artifact, DBoW2
+    text format — the analogue of the reference's ORBvoc.txt load at
+    System.cc:69); falls back to the structure-only random tree when the
+    trained file is absent."""
+    if os.path.exists(_VOCAB_FILE):
+        return Vocabulary.load_dbow2_text(_VOCAB_FILE)
+    return Vocabulary.train_random(cfg.loop.vocab_branching,
+                                   cfg.loop.vocab_depth)
+
+
 class LoopCloser:
     def __init__(self, cfg, K, vocab: Optional[Vocabulary] = None,
                  fix_scale: bool = True):
         self.cfg = cfg
         self.K = K
-        self.vocab = vocab or Vocabulary.train_random(
-            cfg.loop.vocab_branching, cfg.loop.vocab_depth)
+        self.vocab = vocab or default_vocabulary(cfg)
         self.fix_scale = fix_scale
         self.consistent_groups: List[Tuple[set, int]] = []
         self.last_loop_kf = -10
@@ -55,6 +69,7 @@ class LoopCloser:
             lambda pc_q, pc_l, inl, T12, s12: sim3_solver.sim3_gn_refine(
                 self.K, pc_q, pc_l, inl, T12, s12,
                 fix_scale=self.fix_scale))
+        self._jit_propagate = jax.jit(self._propagate_impl)
         self._jit_pose_graph = jax.jit(self._pose_graph_impl)
         self._jit_fuse = jax.jit(self._fuse_loop_points_impl)
         self._jit_gba = jax.jit(self._gba_impl)
@@ -182,10 +197,12 @@ class LoopCloser:
             jnp.clip(A, 0, P - 1).reshape(-1)].max(
             ((A >= 0) & m.kf_kp_valid & nbr[:, None]).reshape(-1))
         pts_mask = pts_mask & m.pt_valid
-        # corrected query pose: Tcw_q' = (T12, s12) o T_lw
-        Tq_corr = T12 @ m.kf_pose[l]
+        # corrected query pose: p_q = s12 * R12 * (T_lw p_w) + t12 — the
+        # Sim3 action scales the rotated point only, NOT the translation
+        # (Sim3Solver.cc:340-365 folds s into R before projecting)
         pw = m.pt_xyz
-        pc = se3.apply(Tq_corr, pw[None])[0] * s12
+        pc_l = se3.apply(m.kf_pose[l], pw[None])[0]
+        pc = s12 * (pc_l @ T12[:3, :3].T) + T12[:3, 3]
         uv = cam_mod.project(self.K, pc)
         vis = pts_mask & (pc[:, 2] > 0) & cam_mod.in_image(self.K, uv)
         lvl = jnp.zeros((P,), jnp.int32)
@@ -198,8 +215,52 @@ class LoopCloser:
         return int(jnp.sum(mok))
 
     # ------------------------------------------------------------------
-    def _pose_graph_impl(self, m: MapState, q, l, T12, s12):
-        """Essential-graph optimization after a loop (Optimizer.cc:781)."""
+    def _propagate_impl(self, m: MapState, q, l, T12, s12):
+        """Propagate the measured Sim3 correction to the query KF's
+        covisible group and their reference points BEFORE fusion
+        (LoopClosing.cc:462-540): S_iw_corr = S_iq_old o S_qw_corr with
+        S_qw_corr = (T12, s12) o T_lw; member map points move by
+        p' = S_corr^-1(S_old(p)) via their reference KF.
+
+        Returns (m, T_old [K,4,4] pre-correction poses, group [K] bool).
+        """
+        Kcap = m.kf_pose.shape[0]
+        T_old = m.kf_pose
+        W = covisibility(m)
+        group = ((W[q] > 0) | (jnp.arange(Kcap) == q)) & m.kf_valid
+
+        # corrected query Sim3, translation UNfolded (t carries s12)
+        Tl = m.kf_pose[l]
+        Sq_T, Sq_s = sim3.compose(T12, s12, Tl, jnp.float32(1.0))
+        # per-group-KF: S_iw_corr = T_iq_old (s=1) o S_qw_corr
+        T_iq = jnp.einsum('kij,jl->kil', T_old, se3.inverse(T_old[q]))
+        T_corr = jnp.einsum('kij,jl->kil', T_iq, Sq_T)
+        s_corr = jnp.where(group, Sq_s, 1.0)
+        T_corr = jnp.where(group[:, None, None], T_corr, T_old)
+
+        # move the group's points by their ref-KF delta (non-group deltas
+        # are identity so correct_points is a no-op there)
+        pt_new = correct_points(
+            m.pt_xyz, jnp.clip(m.pt_ref_kf, 0, Kcap - 1),
+            T_old, jnp.ones(Kcap), T_corr, s_corr)
+
+        # fold scale into SE3 for the stored poses: Tiw = [R | t/s]
+        T_folded = T_corr.at[:, :3, 3].set(
+            T_corr[:, :3, 3] / s_corr[:, None])
+        m = m._replace(kf_pose=T_folded, pt_xyz=pt_new,
+                       version=m.version + 1)
+        return m, T_old, group, s_corr
+
+    # ------------------------------------------------------------------
+    def _pose_graph_impl(self, m: MapState, q, l, T12, s12, T_old, s_init):
+        """Essential-graph optimization after a loop (Optimizer.cc:781).
+
+        Initial vertex values = the CURRENT (propagated/corrected) poses;
+        edge measurements = relative transforms of the PRE-correction poses
+        T_old (the drift-bearing geometry, Optimizer.cc:843-906 uses
+        NonCorrectedSim3 for them), except the loop edge which carries the
+        measured Sim3.
+        """
         Kcap = m.kf_pose.shape[0]
         W = covisibility(m)
 
@@ -217,17 +278,20 @@ class LoopCloser:
         ej = jnp.concatenate([ej_tree, sj, jnp.array([q])])
         e_ok = jnp.concatenate([has_parent, s_ok, jnp.array([True])])
 
-        # measurements: current relative poses, except the loop edge which
-        # carries the Sim3-measured relative transform
-        Ti = m.kf_pose[ei]
-        Tj = m.kf_pose[ej]
+        # measurements: PRE-correction relative poses (the drift-bearing
+        # geometry), except the loop edge which carries the measured Sim3
+        Ti = T_old[ei]
+        Tj = T_old[ej]
         rel_T = jnp.einsum('kij,kjl->kil', Tj, se3.inverse(Ti))
         rel_s = jnp.ones(ei.shape[0])
         rel_T = rel_T.at[-1].set(T12)
         rel_s = rel_s.at[-1].set(s12)
 
+        # initial values: current (corrected) poses, translation unfolded
+        T_init = m.kf_pose.at[:, :3, 3].set(
+            m.kf_pose[:, :3, 3] * s_init[:, None])
         prob = PoseGraphProblem(
-            T=m.kf_pose, s=jnp.ones(Kcap),
+            T=T_init, s=s_init,
             fixed=(~m.kf_valid) | (jnp.arange(Kcap) == l),
             ei=ei, ej=ej, rel_T=rel_T, rel_s=rel_s,
             valid=e_ok, weight=jnp.ones(ei.shape[0]))
@@ -235,7 +299,7 @@ class LoopCloser:
             prob, n_iters=self.cfg.solver.pose_graph_iters)
 
         pt_new = correct_points(m.pt_xyz, jnp.clip(m.pt_ref_kf, 0, Kcap - 1),
-                                m.kf_pose, jnp.ones(Kcap), T_new, s_new)
+                                T_init, s_init, T_new, s_new)
         # fold optimized scale back into SE3 poses: Tiw = [R | t/s]
         # (Optimizer.cc:1020-1040 recovery; identity for stereo/RGBD where
         # every rel_s measurement pins s=1)
@@ -332,8 +396,15 @@ class LoopCloser:
                           version=m.version + 1)
 
     def _correct_loop(self, m: MapState, q: int, l: int, T12, s12):
-        m = self._jit_pose_graph(m, jnp.int32(q), jnp.int32(l), T12,
-                                 jnp.float32(s12))
+        """CorrectLoop (LoopClosing.cc:403-644) in the reference's order:
+        propagate the corrected Sim3 to the query's covisible group ->
+        SearchAndFuse with the corrected poses -> essential-graph
+        optimization (measurements from the pre-correction geometry) ->
+        global BA."""
+        m, T_old, _, s_init = self._jit_propagate(
+            m, jnp.int32(q), jnp.int32(l), T12, jnp.float32(s12))
         m = self._jit_fuse(m, jnp.int32(q), jnp.int32(l))
+        m = self._jit_pose_graph(m, jnp.int32(q), jnp.int32(l), T12,
+                                 jnp.float32(s12), T_old, s_init)
         m = self._jit_gba(m)
         return m

@@ -191,10 +191,94 @@ def triangulate_new_points(m: MapState, kf_id, n_neighbors: int,
             desc1, uv1, free1, desc2, uv2, free2, F12, ex2, inv_s2)
         mok = mok & nbr_ok
 
-        pw, tri_ok = tri_mod.triangulate_two_view(
-            K, T1, T2, uv1, uv2[jnp.clip(midx, 0, N - 1)],
-            reproj_chi2=chi2_gate)
-        create = mok & tri_ok
+        # --- point position: parallax-gated DLT vs stereo unprojection
+        # (LocalMapping.cc:288-380). Unconditional DLT was the round-1/2
+        # map-corruption driver: at keyframe baselines of a few cm, ray
+        # triangulation of far points carries 10x the error of the
+        # measured RGB-D/stereo depth; those points bias every later pose
+        # solve and the bias compounds through spawning.
+        mi = jnp.clip(midx, 0, N - 1)
+        uv2m = uv2[mi]
+        ur1 = m_acc.kf_kp_ur[kf_id]
+        ur2m = m_acc.kf_kp_ur[nb][mi]
+        z1 = jnp.where(ur1 >= 0,
+                       K.bf / jnp.maximum(uv1[:, 0] - ur1, 1e-6), -1.0)
+        z2 = jnp.where(ur2m >= 0,
+                       K.bf / jnp.maximum(uv2m[:, 0] - ur2m, 1e-6), -1.0)
+        baseline = K.bf / K.fx
+
+        # ray parallax between the two bearing vectors (world frame)
+        def bearing(T, uv):
+            xn = jnp.stack([(uv[:, 0] - K.cx) / K.fx,
+                            (uv[:, 1] - K.cy) / K.fy,
+                            jnp.ones(uv.shape[0])], -1)
+            r = xn @ T[:3, :3]          # R^T xn
+            return r / jnp.maximum(jnp.linalg.norm(r, axis=-1,
+                                                   keepdims=True), 1e-9)
+
+        cos_rays = jnp.sum(bearing(T1, uv1) * bearing(T2, uv2m), -1)
+        cos_st1 = jnp.where(z1 > 0,
+                            jnp.cos(2.0 * jnp.arctan2(baseline / 2.0,
+                                                      jnp.maximum(z1, 1e-6))),
+                            2.0)
+        cos_st2 = jnp.where(z2 > 0,
+                            jnp.cos(2.0 * jnp.arctan2(baseline / 2.0,
+                                                      jnp.maximum(z2, 1e-6))),
+                            2.0)
+        cos_st = jnp.minimum(cos_st1, cos_st2)
+        any_st = (z1 > 0) | (z2 > 0)
+        tri_sel = (cos_rays < cos_st) & (cos_rays > 0) \
+            & (any_st | (cos_rays < 0.9998))
+
+        def to_xn(uv):
+            return jnp.stack([(uv[:, 0] - K.cx) / K.fx,
+                              (uv[:, 1] - K.cy) / K.fy], -1)
+
+        pw_tri = tri_mod.triangulate_dlt(T1[:3, :4], T2[:3, :4],
+                                         to_xn(uv1), to_xn(uv2m))
+        T1i = se3.inverse(T1)
+        T2i = se3.inverse(T2)
+        pw_s1 = se3.apply(T1i, cam_mod.backproject(
+            K, uv1, jnp.maximum(z1, 1e-6))[None])[0]
+        pw_s2 = se3.apply(T2i, cam_mod.backproject(
+            K, uv2m, jnp.maximum(z2, 1e-6))[None])[0]
+        use_s1 = ~tri_sel & (z1 > 0) & (cos_st1 <= cos_st2)
+        use_s2 = ~tri_sel & ~use_s1 & (z2 > 0)
+        pw = jnp.where(tri_sel[:, None], pw_tri,
+                       jnp.where(use_s1[:, None], pw_s1, pw_s2))
+        has_src = tri_sel | use_s1 | use_s2
+
+        # --- acceptance gates (LocalMapping.cc:382-446): cheirality +
+        # per-level chi2 reprojection in BOTH views (stereo residual where
+        # available) + scale-consistency ratio
+        def reproj_chi2_fn(T, uv, ur, pw_, lvl_inv_s2):
+            pc = se3.apply(T, pw_[None])[0]
+            z = pc[:, 2]
+            u = K.fx * pc[:, 0] / jnp.maximum(z, 1e-6) + K.cx
+            v = K.fy * pc[:, 1] / jnp.maximum(z, 1e-6) + K.cy
+            urp = u - K.bf / jnp.maximum(z, 1e-6)
+            e2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+            e2s = e2 + jnp.where(ur >= 0, (urp - ur) ** 2, 0.0)
+            gate = jnp.where(ur >= 0, 7.815, 5.991)
+            return (z > 0) & (e2s * lvl_inv_s2 < gate), z
+
+        lvl1 = jnp.clip(m_acc.kf_kp_level[kf_id], 0,
+                        inv_sigma2_lvl.shape[0] - 1)
+        lvl2 = jnp.clip(m_acc.kf_kp_level[nb][mi], 0,
+                        inv_sigma2_lvl.shape[0] - 1)
+        ok1, z1c = reproj_chi2_fn(T1, uv1, ur1, pw, inv_sigma2_lvl[lvl1])
+        ok2, z2c = reproj_chi2_fn(T2, uv2m, ur2m, pw, inv_sigma2_lvl[lvl2])
+
+        d1 = jnp.linalg.norm(pw - T1i[:3, 3], axis=-1)
+        d2 = jnp.linalg.norm(pw - T2i[:3, 3], axis=-1)
+        ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+        ratio_oct = scale_factors[lvl1] / scale_factors[lvl2]
+        ratio_factor = 1.5 * scale_factors[1] / scale_factors[0]
+        scale_ok = (ratio_dist * ratio_factor > ratio_oct) \
+            & (ratio_dist < ratio_oct * ratio_factor)
+
+        create = mok & has_src & ok1 & ok2 & scale_ok \
+            & jnp.all(jnp.isfinite(pw), axis=-1)
 
         # spawn into point slab
         P = m_acc.pt_xyz.shape[0]

@@ -43,11 +43,71 @@ class FrameRecord:
     tracked: bool
 
 
+class _AsyncMapping:
+    """Mapping off the frame-critical path — the functional analogue of
+    the LocalMapping thread + interruptible-BA contract
+    (LocalMapping.cc:48-113, :556-627, mbAbortBA at :119).
+
+    dispatch() launches process_new_keyframe on a SNAPSHOT of the map:
+    with a second device it runs there concurrently; single-chip it is an
+    async XLA dispatch the host never blocks on (the device pipeline
+    absorbs it while the host renders/decodes the next frame). merge()
+    adopts the mapping result and re-applies everything the tracker wrote
+    in the meantime — the tracker's writes are additive counters (point
+    visible/found, label votes) and the object slabs, so the merge is a
+    commutative overlay, not a lock.
+    """
+
+    def __init__(self, fn, device=None, home_device=None):
+        self.fn = fn
+        self.device = device
+        self.home = home_device
+        self.pending = None
+        self.pending_kf = -1
+
+    def dispatch(self, m: MapState, kf_id: int):
+        m_in = jax.device_put(m, self.device) if self.device else m
+        res = self.fn(m_in, jnp.int32(kf_id))
+        self.pending = (res, m.pt_visible, m.pt_found,
+                        m.pt_label_cnt, m.pt_label_tot)
+        self.pending_kf = kf_id
+
+    def ready(self) -> bool:
+        if self.pending is None:
+            return False
+        try:
+            return bool(self.pending[0].n_pt.is_ready())
+        except AttributeError:
+            return True
+
+    def merge(self, m_now: MapState) -> MapState:
+        """Adopt the mapping result; overlay the tracker's in-flight
+        writes (additive counters + object ownership/slabs)."""
+        if self.pending is None:
+            return m_now
+        res, s_vis, s_found, s_lc, s_lt = self.pending
+        self.pending = None
+        self.pending_kf = -1
+        if self.device is not None and self.home is not None:
+            res = jax.device_put(res, self.home)
+        obj_fields = {f: getattr(m_now, f) for f in MapState._fields
+                      if f.startswith("obj_")}
+        return res._replace(
+            pt_visible=res.pt_visible + (m_now.pt_visible - s_vis),
+            pt_found=res.pt_found + (m_now.pt_found - s_found),
+            pt_label_cnt=res.pt_label_cnt + (m_now.pt_label_cnt - s_lc),
+            pt_label_tot=res.pt_label_tot + (m_now.pt_label_tot - s_lt),
+            pt_obj=jnp.where(res.pt_valid, m_now.pt_obj, -1),
+            n_obj=m_now.n_obj, next_track_id=m_now.next_track_id,
+            **obj_fields)
+
+
 class SlamSystem:
     def __init__(self, cfg: Optional[SlamConfig] = None,
                  enable_objects: bool = True,
                  enable_mapping: bool = True,
-                 enable_loop: bool = False):
+                 enable_loop: bool = False,
+                 async_mapping: bool = False):
         self.cfg = cfg or SlamConfig()
         self.builder = FrameBuilder(self.cfg)
         self.K = self.builder.K
@@ -81,10 +141,17 @@ class SlamSystem:
 
         self._jit_stereo_init = jax.jit(self._stereo_init_impl)
         self._jit_motion = jax.jit(self._motion_impl)
+        self._jit_motion_vo = jax.jit(self._motion_vo_impl)
         self._jit_refkf = jax.jit(self._refkf_impl)
         self._jit_local = jax.jit(self._local_impl)
         self._jit_insert = jax.jit(self._insert_impl)
         self._jit_mapping = jax.jit(self._mapping_impl)
+        self._async = None
+        if async_mapping:
+            devs = jax.devices()
+            side = devs[1] if len(devs) > 1 else None
+            self._async = _AsyncMapping(self._jit_mapping, device=side,
+                                        home_device=devs[0])
 
     # ------------------------------------------------------------------
     # jitted stage wrappers
@@ -97,19 +164,25 @@ class SlamSystem:
         return m, kf_id, kp_pt
 
     def _motion_impl(self, m, frame, last_uv, last_pt, last_level,
-                     last_valid, T_pred, radius):
+                     last_valid, T_pred, radius, T_last):
         return trk.track_motion_model(
             self.K, m, frame, last_uv, last_pt, last_level, last_valid,
-            T_pred, self.scale_factors, self.inv_sigma2, radius_th=radius)
+            T_pred, self.scale_factors, self.inv_sigma2, radius_th=radius,
+            T_last=T_last)
+
+    def _motion_vo_impl(self, m, frame, last, T_pred):
+        return trk.track_motion_model_vo(
+            self.K, m, frame, last, T_pred, self.scale_factors,
+            self.inv_sigma2)
 
     def _refkf_impl(self, m, frame, ref_kf, T0):
         return trk.track_reference_kf(self.K, m, frame, ref_kf, T0,
                                       self.inv_sigma2)
 
-    def _local_impl(self, m, frame, tr):
+    def _local_impl(self, m, frame, tr, T_last):
         return trk.track_local_map(self.K, m, frame, tr,
                                    self.scale_factors, self.inv_sigma2,
-                                   self.log_scale)
+                                   self.log_scale, T_last=T_last)
 
     def _insert_impl(self, m, frame, Tcw, kp_pt, close_mask):
         frame = frame._replace(kp_pt=kp_pt)
@@ -246,14 +319,36 @@ class SlamSystem:
         # --- initial pose ---
         last = self.last_frame
         T_pred = jnp.asarray(self.velocity) @ last.Tcw
+        vo_mode = False
         with self.profiler.span("track.motion_model"):
-            tr = self._jit_motion(self.map, frame, last.uv, last.kp_pt,
-                                  last.level, last.valid, T_pred,
-                                  cfg.tracking.motion_model_radius)
-        if int(tr.n_inliers) < 10:
-            tr = self._jit_refkf(self.map, frame,
-                                 jnp.int32(max(self.last_kf_id, 0)),
-                                 last.Tcw)
+            if not self.enable_mapping:
+                # localization-only: temporal VO points keep the motion
+                # model fed where the frozen map is sparse
+                # (Tracking.cc:384-514); mbVO = few matches to MAP points
+                tr, n_map = self._jit_motion_vo(self.map, frame, last,
+                                                T_pred)
+                vo_mode = int(n_map) < 10
+            else:
+                tr = self._jit_motion(self.map, frame, last.uv, last.kp_pt,
+                                      last.level, last.valid, T_pred,
+                                      cfg.tracking.motion_model_radius,
+                                      last.Tcw)
+                if int(tr.n_matches) < 20:
+                    # wide-window retry (Tracking.cc:967-975 doubles th)
+                    tr = self._jit_motion(
+                        self.map, frame, last.uv, last.kp_pt,
+                        last.level, last.valid, T_pred,
+                        2.0 * cfg.tracking.motion_model_radius, last.Tcw)
+        if int(tr.n_matches) < 20 or int(tr.n_inliers) < 10:
+            # the reference REFUSES a thin motion-model consensus before
+            # optimizing (Tracking.cc:977 `if(nmatches<20) return false`) —
+            # a dozen spatially-consistent wrong matches can pass the chi2
+            # gates and poison the map at high pan rates
+            tr_kf = self._jit_refkf(self.map, frame,
+                                    jnp.int32(max(self.last_kf_id, 0)),
+                                    last.Tcw)
+            if int(tr_kf.n_inliers) > int(tr.n_inliers):
+                tr = tr_kf
         if int(tr.n_inliers) < 10:
             tr = self._relocalize(frame)
             if tr is None:
@@ -269,16 +364,53 @@ class SlamSystem:
             frame = self.objects.associate(self.map, frame, last)
 
         # --- local map tracking ---
+        if vo_mode:
+            # pure-VO survival mode: the frozen map has no local coverage,
+            # the temporal-point pose is the result (Tracking.cc:445-450
+            # skips TrackLocalMap when mbOnlyTracking && mbVO)
+            tr2, ref_kf = tr, self.last_kf_id
+            n_inl = int(tr.n_inliers)
+            ok = n_inl >= 20
+            self.state = OK if ok else LOST
+            self.debug_last = {"tr_motion": tr, "tr_local": tr2,
+                               "T_pred": T_pred, "frame": frame}
+            frame = frame._replace(Tcw=tr.Tcw, kp_pt=tr.kp_pt,
+                                   pose_ok=jnp.array(ok))
+            if ok:
+                self.velocity = np.asarray(tr.Tcw @ se3.inverse(last.Tcw))
+            self._record(frame, ok)
+            self.last_frame = frame
+            self.frame_id += 1
+            return frame
         with self.profiler.span("track.local_map"):
             if self.objects is not None and bool(jnp.any(frame.obj3d >= 0)):
                 tr2, self.map = self.objects.track_local_map_semantic(
                     self.map, frame, tr)
                 ref_kf = self.last_kf_id
             else:
-                tr2, self.map, ref_kf = self._jit_local(self.map, frame, tr)
+                tr2, self.map, ref_kf = self._jit_local(self.map, frame, tr,
+                                                        last.Tcw)
                 ref_kf = int(ref_kf)
         n_inl = int(tr2.n_inliers)
         ok = n_inl >= 30 or (n_inl >= 10 and self.frame_id < 5)
+        if not ok and int(tr.n_inliers) >= 10:
+            # reference-KF fallback BEFORE declaring LOST: when the
+            # motion-model chain degraded through local-map tracking, retry
+            # from a brute match against the reference keyframe and run the
+            # local map again (Tracking.cc:364-379 tries
+            # TrackReferenceKeyFrame whenever the primary estimate fails;
+            # round 1 skipped this rung and went straight to LOST)
+            tr_kf = self._jit_refkf(self.map, frame,
+                                    jnp.int32(max(self.last_kf_id, 0)),
+                                    last.Tcw)
+            if int(tr_kf.n_inliers) >= 10:
+                tr2_kf, map_kf, ref2 = self._jit_local(self.map, frame,
+                                                       tr_kf, last.Tcw)
+                if int(tr2_kf.n_inliers) > n_inl:
+                    tr, tr2, self.map, ref_kf = \
+                        tr_kf, tr2_kf, map_kf, int(ref2)
+                    n_inl = int(tr2.n_inliers)
+                    ok = n_inl >= 30 or (n_inl >= 10 and self.frame_id < 5)
         self.state = OK if ok else LOST
         # per-frame stage snapshots for diagnostics (scripts/diag_retention)
         self.debug_last = {"tr_motion": tr, "tr_local": tr2,
@@ -287,8 +419,9 @@ class SlamSystem:
         frame = frame._replace(Tcw=tr2.Tcw, kp_pt=tr2.kp_pt,
                                pose_ok=jnp.array(ok))
 
-        # --- object landmark update ---
-        if self.objects is not None and ok:
+        # --- object landmark update (map mutation — skipped in
+        # localization-only mode, as all map building is) ---
+        if self.objects is not None and ok and self.enable_mapping:
             self.map, frame = self.objects.update(self.map, frame)
 
         # --- motion model ---
@@ -297,6 +430,14 @@ class SlamSystem:
 
         # --- keyframe policy ---
         if ok and self.enable_mapping:
+            if self._async is not None and self._async.ready():
+                # adopt a finished mapping pass as soon as it lands
+                merged_kf = self._async.pending_kf
+                self.map = self._async.merge(self.map)
+                if self.loop_closer is not None and merged_kf >= 0:
+                    with self.profiler.span("loop.on_keyframe"):
+                        self.map, _ = self.loop_closer.on_keyframe(
+                            self.map, merged_kf)
             close = (frame.depth > 0) & (frame.depth < cfg.camera.th_depth
                                          * cfg.camera.baseline)
             tracked = frame.kp_pt >= 0
@@ -321,6 +462,15 @@ class SlamSystem:
                     self.frames_since_kf,
                     max_frames=cfg.tracking.max_frames_between_kf):
                 spawn = close & ~tracked & frame.valid
+                if self._async is not None and self._async.pending:
+                    # a mapping pass is still in flight: fold it in before
+                    # inserting on top (the KF-rate barrier — non-KF
+                    # frames never wait; LocalMapping's queue analogue)
+                    merged_kf = self._async.pending_kf
+                    self.map = self._async.merge(self.map)
+                    if self.loop_closer is not None and merged_kf >= 0:
+                        self.map, _ = self.loop_closer.on_keyframe(
+                            self.map, merged_kf)
                 self.map, kf_id = self._jit_insert(
                     self.map, frame, tr2.Tcw, tr2.kp_pt, spawn)
                 # adopt the spawned point bindings into the live frame so
@@ -331,12 +481,17 @@ class SlamSystem:
                 frame = frame._replace(kp_pt=self.map.kf_kp_pt[int(kf_id)])
                 self.last_kf_id = int(kf_id)
                 self.frames_since_kf = 0
-                with self.profiler.span("mapping.process_kf"):
-                    self.map = self._jit_mapping(self.map, jnp.int32(kf_id))
-                if self.loop_closer is not None:
-                    with self.profiler.span("loop.on_keyframe"):
-                        self.map, closed = self.loop_closer.on_keyframe(
-                            self.map, int(kf_id))
+                if self._async is not None:
+                    with self.profiler.span("mapping.dispatch"):
+                        self._async.dispatch(self.map, int(kf_id))
+                else:
+                    with self.profiler.span("mapping.process_kf"):
+                        self.map = self._jit_mapping(self.map,
+                                                     jnp.int32(kf_id))
+                    if self.loop_closer is not None:
+                        with self.profiler.span("loop.on_keyframe"):
+                            self.map, closed = self.loop_closer.on_keyframe(
+                                self.map, int(kf_id))
             else:
                 self.frames_since_kf += 1
 

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from object_slam_tpu.geometry import se3, camera as cam_mod
 from object_slam_tpu.features import matching
-from object_slam_tpu.solvers.pose_opt import PoseObs, pose_optimize
+from object_slam_tpu.solvers.pose_opt import (PoseObs, pose_optimize,
+                                              pose_optimize_best)
 from object_slam_tpu.slam.frame import FrameData
 from object_slam_tpu.slam.map_state import MapState, covisibility
 
@@ -47,7 +48,7 @@ def track_motion_model(K, m: MapState, frame: FrameData,
                        last_uv, last_pt, last_level, last_valid,
                        T_pred, scale_factors, inv_sigma2_lvl,
                        radius_th: float = 15.0,
-                       min_matches: int = 20) -> TrackResult:
+                       min_matches: int = 20, T_last=None) -> TrackResult:
     """SearchByProjection(cur, last) + PoseOptimization
     (Tracking.cc:948-1009, ORBmatcher.cc:1328-1470).
 
@@ -80,11 +81,15 @@ def track_motion_model(K, m: MapState, frame: FrameData,
     kp_pt = kp_pt.at[tgt].set(jnp.where(mok, last_pt, kp_pt[tgt]))
 
     return _optimize_from_matches(K, m, frame, T_pred, kp_pt,
-                                  inv_sigma2_lvl, min_matches)
+                                  inv_sigma2_lvl, min_matches,
+                                  T_alt=T_last)
 
 
 def _optimize_from_matches(K, m, frame, T0, kp_pt, inv_sigma2_lvl,
-                           min_matches) -> TrackResult:
+                           min_matches, T_alt=None) -> TrackResult:
+    """Pose solve over the matched set. When T_alt is given, BOTH inits
+    are optimized and the lower-cost result wins (pose_optimize_best) —
+    the escape hatch from the velocity-extrapolation feedback loop."""
     P = m.pt_xyz.shape[0]
     matched = (kp_pt >= 0) & frame.valid
     ptc = jnp.clip(kp_pt, 0, P - 1)
@@ -95,11 +100,78 @@ def _optimize_from_matches(K, m, frame, T0, kp_pt, inv_sigma2_lvl,
                                            inv_sigma2_lvl.shape[0] - 1)],
         valid=matched)
     n_matches = jnp.sum(matched.astype(jnp.int32))
-    Tcw, inlier, n_inl = pose_optimize(K, T0, obs)
+    if T_alt is not None:
+        inits = jnp.stack([T0, T_alt])
+        Tcw, inlier, n_inl = pose_optimize_best(K, inits, obs)
+    else:
+        Tcw, inlier, n_inl = pose_optimize(K, T0, obs)
     kp_pt_out = jnp.where(inlier, kp_pt, -1)
     return TrackResult(Tcw=Tcw, kp_pt=kp_pt_out, inlier=inlier,
                        n_matches=n_matches, n_inliers=n_inl,
                        kp_pt_all=kp_pt)
+
+
+def track_motion_model_vo(K, m: MapState, frame: FrameData,
+                          last: FrameData, T_pred, scale_factors,
+                          inv_sigma2_lvl, radius_th: float = 15.0):
+    """Localization-mode motion tracking with temporal VO points
+    (Tracking.cc:384-514): every last-frame keypoint with measured depth
+    but no map point acts as a TEMPORARY 3D point (the reference's
+    UpdateLastFrame spawns mlpTemporalPoints and deletes them at
+    :509-514), so tracking-only mode survives regions the frozen map never
+    covered. Temporal matches contribute to the pose solve but never gain
+    map-point ids.
+
+    Returns (TrackResult, n_map_inliers []) — the second output drives the
+    mbVO state (Tracking.h mbVO: "few matches to MAP points").
+    """
+    P = m.pt_xyz.shape[0]
+    N = frame.uv.shape[0]
+    ptc = jnp.clip(last.kp_pt, 0, P - 1)
+    has_pt = last.valid & (last.kp_pt >= 0) & m.pt_valid[ptc]
+    temporal = last.valid & ~has_pt & (last.depth > 0)
+    rows_ok = has_pt | temporal
+
+    pc_last = cam_mod.backproject(K, last.uv, jnp.maximum(last.depth, 1e-6))
+    pw_tmp = se3.apply(se3.inverse(last.Tcw), pc_last[None])[0]
+    pw = jnp.where(has_pt[:, None], m.pt_xyz[ptc], pw_tmp)
+    desc = jnp.where(has_pt[:, None], m.pt_desc[ptc], last.desc)
+
+    pc = se3.apply(T_pred, pw[None])[0]
+    uv = cam_mod.project(K, pc)
+    rows_ok = rows_ok & (pc[:, 2] > 0) & cam_mod.in_image(K, uv)
+    lvl = jnp.clip(last.level, 0, scale_factors.shape[0] - 1)
+    radius = radius_th * scale_factors[lvl]
+    ur_pred = uv[:, 0] - K.bf / jnp.maximum(pc[:, 2], 1e-6)
+
+    midx, mok = matching.search_by_projection(
+        uv, last.level, desc, rows_ok,
+        frame.uv, frame.level, frame.desc, frame.valid,
+        radius_per_row=radius, th_dist=100, nn_ratio=None,
+        kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius)
+
+    tgt = jnp.clip(midx, 0, N - 1)
+    kp_pw = jnp.zeros((N, 3), pw.dtype)
+    kp_pw = kp_pw.at[tgt].set(jnp.where(mok[:, None], pw, kp_pw[tgt]))
+    kp_obs = jnp.zeros((N,), bool).at[tgt].max(mok)
+    kp_pt = jnp.full((N,), -1, jnp.int32)
+    kp_pt = kp_pt.at[tgt].set(
+        jnp.where(mok & has_pt, last.kp_pt, kp_pt[tgt]))
+
+    matched = kp_obs & frame.valid
+    obs = PoseObs(
+        uv=frame.uv, ur=jnp.where(matched, frame.ur, -1.0), pw=kp_pw,
+        inv_sigma2=inv_sigma2_lvl[jnp.clip(frame.level, 0,
+                                           inv_sigma2_lvl.shape[0] - 1)],
+        valid=matched)
+    Tcw, inlier, n_inl = pose_optimize_best(
+        K, jnp.stack([T_pred, last.Tcw]), obs)
+    kp_pt_out = jnp.where(inlier, kp_pt, -1)
+    n_map_inl = jnp.sum((kp_pt_out >= 0).astype(jnp.int32))
+    res = TrackResult(Tcw=Tcw, kp_pt=kp_pt_out, inlier=inlier,
+                      n_matches=jnp.sum(matched.astype(jnp.int32)),
+                      n_inliers=n_inl, kp_pt_all=kp_pt)
+    return res, n_map_inl
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +238,7 @@ def select_local_points(m: MapState, kp_pt, n_local_kf: int = 16):
 def track_local_map(K, m: MapState, frame: FrameData, tr: TrackResult,
                     scale_factors, inv_sigma2_lvl, log_scale: float,
                     radius_th: float = 7.0,
-                    view_cos_limit: float = 0.5):
+                    view_cos_limit: float = 0.5, T_last=None):
     """SearchLocalPoints + pose re-optimization (Tracking.cc:1011-1056,
     :1408-1456). Returns (TrackResult, updated map visibility counters,
     ref_kf)."""
@@ -208,7 +280,7 @@ def track_local_map(K, m: MapState, frame: FrameData, tr: TrackResult,
     kp_pt = kp_pt.at[tgt].set(jnp.where(mok, local_pts, kp_pt[tgt]))
 
     res = _optimize_from_matches(K, m, frame, tr.Tcw, kp_pt,
-                                 inv_sigma2_lvl, 30)
+                                 inv_sigma2_lvl, 30, T_alt=T_last)
 
     # visibility/found counters for culling (MapPoint::Increase*)
     vis_ids = jnp.where(ok, local_pts, 0)

@@ -169,3 +169,42 @@ def pose_optimize(K: Intrinsics, Tcw0, obs: PoseObs,
     Tcw, _, active = jax.lax.fori_loop(
         0, rounds, round_body, (Tcw0, jnp.float32(damping), active0))
     return Tcw, active, jnp.sum(active.astype(jnp.int32))
+
+
+def pose_optimize_best(K: Intrinsics, inits, obs: PoseObs,
+                       rounds: int = 4, iters_per_round: int = 10,
+                       chi2_mono: float = 5.991, chi2_stereo: float = 7.815):
+    """Multi-hypothesis pose optimization: run the full LM schedule from
+    each of the [M, 4, 4] init poses, keep the result with the lowest
+    robust cost over ALL valid edges (inlier count breaks near-ties).
+
+    Why: the Huber + chi2-regated objective is multimodal — measured on
+    live sequences, LM initialized at the velocity-extrapolated prediction
+    converges into a spurious basin ~0.998x the cost of the true optimum,
+    and the velocity model then doubles that residual error every frame
+    (e_{t+1} = 2 e_t - e_{t-1}: golden-ratio divergence, the round-1
+    "retention collapse"). Optimizing from BOTH the prediction and the
+    un-extrapolated last pose, then comparing by cost, breaks the
+    feedback. The reference's single-init g2o schedule has the same
+    multimodality but its drift seed is too small to excite it; a batched
+    second hypothesis costs one vmap lane on TPU, not a second solve.
+    """
+    def run(T0):
+        Tcw, active, n = pose_optimize(
+            K, T0, obs, rounds=rounds, iters_per_round=iters_per_round,
+            chi2_mono=chi2_mono, chi2_stereo=chi2_stereo)
+        r, _, stereo, z = reproj_residual_jac(K, Tcw, obs)
+        chi2 = edge_chi2(r, obs.inv_sigma2, stereo)
+        delta2 = jnp.where(stereo, chi2_stereo, chi2_mono)
+        cost = robust_cost(chi2, delta2, obs.valid & (z > 0))
+        # an edge pushed behind the camera must not DISCOUNT the cost —
+        # charge it more than any in-front outlier plausibly costs
+        cost = cost + jnp.sum(jnp.where(obs.valid & (z <= 0),
+                                        8.0 * delta2, 0.0))
+        return Tcw, active, n, cost
+
+    Ts, actives, ns, costs = jax.vmap(run)(inits)
+    # lowest cost wins; an inlier-count bonus breaks the near-tie flats
+    score = costs - 0.5 * ns.astype(costs.dtype)
+    best = jnp.argmin(score)
+    return Ts[best], actives[best], ns[best]

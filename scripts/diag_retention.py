@@ -31,18 +31,27 @@ def main():
                     help="freeze the map after initialization")
     ap.add_argument("--no-ba", action="store_true",
                     help="skip local BA in mapping")
+    ap.add_argument("--traj", choices=["orbit", "loop"], default="orbit")
+    ap.add_argument("--flat", action="store_true",
+                    help="old degenerate single-plane scene (room=False)")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from object_slam_tpu.config import SlamConfig
-    from object_slam_tpu.datasets.synthetic import SyntheticScene, orbit_poses
+    from object_slam_tpu.datasets.synthetic import (SyntheticScene,
+                                                    orbit_poses,
+                                                    loop_trajectory)
     from object_slam_tpu.slam.system import SlamSystem
 
     cfg = SlamConfig.tum_rgbd()
-    scene = SyntheticScene.make(cfg, seed=3, n_objects=2, plane_z=4.0)
-    poses = orbit_poses(args.frames, radius=args.radius, step=args.step)
+    scene = SyntheticScene.make(cfg, seed=3, n_objects=2, plane_z=4.0,
+                                room=not args.flat)
+    if args.traj == "loop":
+        poses = loop_trajectory(args.frames)
+    else:
+        poses = orbit_poses(args.frames, radius=args.radius, step=args.step)
 
     sys_ = SlamSystem(cfg, enable_objects=args.objects)
     if args.no_ba:
@@ -61,6 +70,14 @@ def main():
         Tcw = np.asarray(frame.Tcw)
         # align to gt frame 0 (both start at poses[0])
         err = np.linalg.norm(Tcw[:3, 3] - T[:3, 3])
+        dR = Tcw[:3, :3] @ T[:3, :3].T
+        rot_deg = np.degrees(np.arccos(
+            np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        # camera-center error resolved in the GT camera frame (x right,
+        # y down, z forward): separates lateral slip from depth drift
+        C_est = -Tcw[:3, :3].T @ Tcw[:3, 3]
+        C_gt = -T[:3, :3].T @ T[:3, 3]
+        dC = T[:3, :3] @ (C_est - C_gt)
         errs.append(err)
         rec = sys_.trajectory[-1]
         extra = ""
@@ -89,6 +106,23 @@ def main():
                 extra += (f" | {tag[3:]}: n={sel.sum():4d} "
                           f"wrong={(d > 3).mean()*100:4.1f}% "
                           f"err={terr:7.1f}mm")
+            # map bias: matched map-point positions vs GT backprojection of
+            # the keypoint through the rendered depth + GT pose
+            kp_pt = np.asarray(dbg["tr_local"].kp_pt)
+            fd = np.asarray(frame.depth)
+            sel = (kp_pt >= 0) & (fd > 0)
+            if sel.sum() > 0:
+                uvn = np.asarray(frame.uv)[sel]
+                z = fd[sel]
+                pc_gt = np.stack([(uvn[:, 0] - cfg.camera.cx) / cfg.camera.fx * z,
+                                  (uvn[:, 1] - cfg.camera.cy) / cfg.camera.fy * z,
+                                  z], -1)
+                Twc = np.linalg.inv(T)
+                pw_gt = pc_gt @ Twc[:3, :3].T + Twc[:3, 3]
+                e3d = np.linalg.norm(
+                    np.asarray(sys_.map.pt_xyz)[kp_pt[sel]] - pw_gt, axis=1)
+                extra += (f" | map3d med={np.median(e3d)*1000:6.1f}mm "
+                          f"p90={np.percentile(e3d, 90)*1000:6.1f}mm")
             if err > 0.02 and os.environ.get("OSLAM_DUMP"):
                 out = os.environ["OSLAM_DUMP"]
                 os.makedirs(out, exist_ok=True)
@@ -107,7 +141,9 @@ def main():
                          T_gt=T)
             sys_.debug_last = None
         print(f"f={i:3d} tracked={int(rec.tracked)} "
-              f"state={sys_.state} err={err*1000:7.1f}mm{extra}", flush=True)
+              f"state={sys_.state} err={err*1000:7.1f}mm "
+              f"rot={rot_deg:5.2f}deg dC=({dC[0]*1000:6.1f},"
+              f"{dC[1]*1000:6.1f},{dC[2]*1000:6.1f})mm{extra}", flush=True)
     errs = np.asarray(errs)
     n_ok = sum(1 for r in sys_.trajectory if r.tracked)
     print(f"\ntracked {n_ok}/{len(poses)} frames; "

@@ -20,17 +20,27 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--step", type=float, default=0.01)
+    ap.add_argument("--traj", choices=["orbit", "loop"], default="orbit",
+                    help="'loop' = closed in-room circuit that revisits "
+                         "the start (loop-closure / long-sequence testing)")
+    ap.add_argument("--seed", type=int, default=3)
     args = ap.parse_args()
 
     from PIL import Image
     from object_slam_tpu.config import SlamConfig
-    from object_slam_tpu.datasets.synthetic import SyntheticScene, orbit_poses
+    from object_slam_tpu.datasets.synthetic import (SyntheticScene,
+                                                    orbit_poses,
+                                                    loop_trajectory)
 
     cfg = SlamConfig.tum_rgbd()
-    scene = SyntheticScene.make(cfg, seed=3, n_objects=3, plane_z=4.0)
+    scene = SyntheticScene.make(cfg, seed=args.seed, n_objects=3,
+                                plane_z=4.0)
     for b in scene.boxes:           # big objects for the VGA geometry
         b['size'] = 0.9
-    poses = orbit_poses(args.frames, step=args.step)
+    if args.traj == "loop":
+        poses = loop_trajectory(args.frames)
+    else:
+        poses = orbit_poses(args.frames, step=args.step)
 
     seq = args.out
     os.makedirs(os.path.join(seq, "rgb"), exist_ok=True)

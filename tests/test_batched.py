@@ -11,6 +11,7 @@ from object_slam_tpu.parallel.batched_tracking import (BatchedTracker,
 from object_slam_tpu.semantic.object2d import empty_slab
 from object_slam_tpu.slam.frame import FrameData
 from object_slam_tpu.slam.map_state import init_map
+import pytest
 
 
 def make_sequence_state(cfg, K, seed):
@@ -49,6 +50,7 @@ def make_sequence_state(cfg, K, seed):
     return m, frame, last_uv, last_pt, T_true
 
 
+@pytest.mark.slow
 class TestBatchedTracking:
     def test_batch_of_sequences_tracks(self):
         cfg = SlamConfig(caps=CapacityConfig(n_kp=128, max_points=512,

@@ -10,6 +10,7 @@ from object_slam_tpu.loop.vocabulary import Vocabulary, l1_score
 from object_slam_tpu.loop import kfdb
 from object_slam_tpu.loop.loop_closing import LoopCloser
 from object_slam_tpu.slam.map_state import init_map
+import pytest
 
 
 def rand_desc(key, n):
@@ -123,6 +124,7 @@ def make_loop_map(cfg, drift=0.3):
     return m, K, T_true, Tq_est, drift_vec
 
 
+@pytest.mark.slow
 class TestLoopInSystem:
     def test_system_with_loop_enabled_runs(self):
         """Smoke: BoW rows fill per keyframe and the detector runs without
@@ -154,6 +156,7 @@ class TestLoopInSystem:
         assert sys_.loop_closer.n_loops_closed == 0
 
 
+@pytest.mark.slow
 class TestLoopClosing:
     def test_sim3_detects_drift(self):
         cfg = SlamConfig(caps=CapacityConfig(n_kp=256, max_points=1024,

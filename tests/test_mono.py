@@ -10,6 +10,7 @@ from object_slam_tpu.datasets.synthetic import SyntheticScene, orbit_poses
 from object_slam_tpu.geometry import se3, camera as cam_mod
 from object_slam_tpu.slam.system import SlamSystem
 from object_slam_tpu.solvers.initializer import initialize_mono
+import pytest
 
 
 CFG = SlamConfig()
@@ -53,6 +54,7 @@ class TestMonoInitializer:
         assert not bool(res.ok)
 
 
+@pytest.mark.slow
 class TestMonoSystem:
     def test_mono_tracking_short(self):
         cfg = SlamConfig(

@@ -16,6 +16,7 @@ CFG = SlamConfig()
 K = camera.Intrinsics.from_config(CFG.camera)
 
 
+@pytest.mark.slow
 class TestShardedBA:
     def test_matches_single_device(self):
         """Sharding is a layout change: results must match the single-chip

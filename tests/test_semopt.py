@@ -14,6 +14,7 @@ from object_slam_tpu.slam.frame import FrameData
 from object_slam_tpu.slam.map_state import init_map
 from object_slam_tpu.slam.objects import ObjectEngine
 from object_slam_tpu.slam.tracking import TrackResult
+import pytest
 
 
 def build_semopt_case():
@@ -89,6 +90,7 @@ def build_semopt_case():
     return cfg, K, m, frame, T_true, n_tot
 
 
+@pytest.mark.slow
 class TestSemanticPoseOpt:
     def test_semopt_converges_and_counts_constraints(self):
         cfg, K, m, frame, T_true, n_tot = build_semopt_case()

@@ -41,6 +41,7 @@ def run_sequence(cfg, scene, poses, **sys_kw):
     return sys_, np.array(est), np.array(gt), oks
 
 
+@pytest.mark.slow
 class TestEndToEnd:
     def test_rgbd_tracking_regression(self):
         """The round-1 e2e slice: 12 frames, all tracked, ATE < 5 cm."""
@@ -71,6 +72,7 @@ class TestEndToEnd:
         assert len(pk.read_text().strip().splitlines()) == len(traj)
 
 
+@pytest.mark.slow
 class TestObjects:
     def test_object_creation_and_stability(self, tmp_path):
         """Close large objects + relaxed mask margin: Object3D landmarks
@@ -99,6 +101,7 @@ class TestObjects:
         assert n_obj_pts > 5
 
 
+@pytest.mark.slow
 class TestObjectStability:
     def test_identities_persist_and_semopt_engages(self):
         """Regression for the duplicate-scatter association bugs: the same
