@@ -99,12 +99,17 @@ class SyntheticScene:
     structures: List[dict]     # unlabeled furniture boxes {center, size, tex}
     bounds_lo: np.ndarray      # room AABB (for surface clipping)
     bounds_hi: np.ndarray
+    uv_scale: float = 80.0     # texture texels per world unit
 
     @staticmethod
     def make(cfg, seed=0, n_objects=2, plane_z=4.0, n_structures=10,
-             room=True):
+             room=True, scale=1.0):
         """A closed textured room (floor/ceiling/4 walls) with unlabeled
         furniture boxes at varied depths plus labeled object boxes.
+
+        scale multiplies every world dimension (room, boxes, distances) —
+        scale 8+ with the KITTI camera approximates an outdoor street
+        canyon (ground + building walls + car-sized boxes).
 
         Depth diversity matters: a single fronto-parallel far plane leaves
         camera z observable only through the virtual-right residual at
@@ -115,7 +120,14 @@ class SyntheticScene:
         """
         rng = np.random.RandomState(seed)
         cam = cfg.camera
-        tex = _smooth_texture(rng, 256)
+        # Texture period MUST exceed every surface extent: _tex_sample
+        # wraps periodically, and at 80 texels/unit a 256-texel texture
+        # repeats every 3.2 units — wall segments one period apart were
+        # PIXEL-IDENTICAL, and descriptor matching locked onto the alias
+        # as a consistent wrong consensus (measured round 2: 98%-wrong
+        # matches under pan, one-frame 250 mm pose jumps). 1024 texels =
+        # a 12.8-unit period, larger than any room dimension.
+        tex = _smooth_texture(rng, 1024)
         boxes = []
         for i in range(n_objects):
             boxes.append(dict(
@@ -135,7 +147,7 @@ class SyntheticScene:
                                            (0, -2.2, 2, 1), (0, 2.2, 2, 1),
                                            (2, -1.2, 0, 1)]:
                 surfaces.append(dict(axis=axis, offset=offset,
-                                     tex=_smooth_texture(rng, 256),
+                                     tex=_smooth_texture(rng, 1024),
                                      uax=uax, vax=vax))
             # furniture all around the camera ring (loop_trajectory pans a
             # full turn — every viewing direction needs close structure or
@@ -146,7 +158,13 @@ class SyntheticScene:
                 c = np.array([rng.uniform(-1.9, 1.9),
                               1.0 - size / 2 - rng.uniform(0, 0.6),
                               rng.uniform(-0.9, 3.6)])
-                if np.hypot(c[0], c[2] - 0.35) < 1.3:
+                # clearance from the camera PATH, not just the ring
+                # center: loop_trajectory reaches 0.85 from (0, 0.35) in
+                # x-z, so a box must keep its half-diagonal plus ~0.5 m
+                # beyond that or it ends up centimeters from the lens
+                # (measured: a box at 0.47 m filled half the image and
+                # collapsed association under pan)
+                if np.hypot(c[0], c[2] - 0.35) < 0.85 + size * 0.87 + 0.5:
                     continue
                 structures.append(dict(center=c, size=size,
                                        tex=_smooth_texture(rng, 64)))
@@ -155,6 +173,15 @@ class SyntheticScene:
         # front end's undistortion path is exercised end-to-end. A pinhole
         # render under a distorted config would inject a position-dependent
         # systematic warp into every synthetic e2e metric.
+        if scale != 1.0:
+            plane_z *= scale
+            bounds_lo = bounds_lo * scale
+            bounds_hi = bounds_hi * scale
+            for s in surfaces:
+                s['offset'] *= scale
+            for b in boxes + structures:
+                b['center'] = b['center'] * scale
+                b['size'] *= scale
         rays = _undistort_grid(cam.height, cam.width, cam.fx, cam.fy,
                                cam.cx, cam.cy, cam.dist)
         return SyntheticScene(h=cam.height, w=cam.width,
@@ -162,7 +189,8 @@ class SyntheticScene:
                               bf=cam.bf, rng=rng, tex=tex,
                               plane_z=plane_z, boxes=boxes, rays=rays,
                               surfaces=surfaces, structures=structures,
-                              bounds_lo=bounds_lo, bounds_hi=bounds_hi)
+                              bounds_lo=bounds_lo, bounds_hi=bounds_hi,
+                              uv_scale=80.0 / scale)
 
     # ------------------------------------------------------------------
     def render_rgbd(self, Tcw: np.ndarray):
@@ -228,23 +256,27 @@ class SyntheticScene:
             if not mask.any():
                 continue
             img = np.where(mask,
-                           _tex_sample(s['tex'], pts_w[..., s['uax']] * 80.0,
-                                       pts_w[..., s['vax']] * 80.0), img)
+                           _tex_sample(s['tex'],
+                                       pts_w[..., s['uax']] * self.uv_scale,
+                                       pts_w[..., s['vax']] * self.uv_scale),
+                           img)
+        bs = 1.25 * self.uv_scale
+        zs = 0.75 * self.uv_scale
         for i, b in enumerate(self.structures):
             mask = hit_struct == i
             if not mask.any():
                 continue
             img = np.where(mask,
-                           _tex_sample(b['tex'], pts_w[..., 0] * 100.0,
-                                       pts_w[..., 1] * 100.0
-                                       + pts_w[..., 2] * 60.0), img)
+                           _tex_sample(b['tex'], pts_w[..., 0] * bs,
+                                       pts_w[..., 1] * bs
+                                       + pts_w[..., 2] * zs), img)
         for i, b in enumerate(self.boxes):
             mask = hit_obj == i
             bt = b['tex']
             img = np.where(mask,
-                           _tex_sample(bt, pts_w[..., 0] * 100.0,
-                                       pts_w[..., 1] * 100.0
-                                       + pts_w[..., 2] * 60.0), img)
+                           _tex_sample(bt, pts_w[..., 0] * bs,
+                                       pts_w[..., 1] * bs
+                                       + pts_w[..., 2] * zs), img)
 
         rgb = np.stack([img, img * 0.9, img * 0.8], axis=-1)
         # distinct hue per object for HSV association
@@ -268,6 +300,17 @@ class SyntheticScene:
                            xs_.max() - xs_.min(), ys_.max() - ys_.min()])
             valid.append(True)
         return img, depth, rgb, (masks, labels, probs, bboxes, valid)
+
+    def render_stereo(self, Tcw: np.ndarray):
+        """Rectified stereo pair: the right camera sits +baseline along
+        the left camera's x-axis (baseline = bf / fx, the KITTI/EuRoC
+        convention). Returns (gray_l, gray_r, depth_l, rgb_l, sem_l)."""
+        gray_l, depth_l, rgb_l, sem_l = self.render_rgbd(Tcw)
+        b = self.bf / self.fx
+        T_r = Tcw.copy()
+        T_r[:3, 3] = Tcw[:3, 3] - np.array([b, 0.0, 0.0], Tcw.dtype)
+        gray_r, _, _, _ = self.render_rgbd(T_r)
+        return gray_l, gray_r, depth_l, rgb_l, sem_l
 
     def sem_arrays(self, sem, max_instances):
         masks, labels, probs, bboxes, valid = sem
@@ -320,4 +363,24 @@ def loop_trajectory(n: int, radius: float = 0.7, sweep: float = 2 * np.pi,
         T[:3, :3] = Rwc.T
         T[:3, 3] = -Rwc.T @ C
         poses.append(T)
+    return poses
+
+
+def drive_trajectory(n: int, speed: float = 0.8, yaw_rate: float = 0.002,
+                     start_z: float = 0.0):
+    """Forward 'driving' motion with a gentle curve (KITTI-style): the
+    camera advances along +z at `speed` world units per frame, yawing
+    yaw_rate rad/frame. Pose 0 is the identity; world->camera poses."""
+    poses = []
+    C = np.array([0.0, 0.0, start_z], np.float64)
+    psi = 0.0
+    for i in range(n):
+        c, s = np.cos(psi), np.sin(psi)
+        Rwc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rwc.T.astype(np.float32)
+        T[:3, 3] = (-Rwc.T @ C).astype(np.float32)
+        poses.append(T)
+        C = C + Rwc @ np.array([0.0, 0.0, speed])
+        psi += yaw_rate
     return poses

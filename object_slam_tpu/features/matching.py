@@ -129,10 +129,19 @@ def brute_match(desc_a, valid_a, desc_b, valid_b,
 
 def search_for_triangulation(desc1, uv1, valid1, desc2, uv2, valid2,
                              F12, ex2, inv_sigma2_lvl2,
-                             th_dist: int = 50):
+                             th_dist: int = 50, nn_ratio: float = 0.8,
+                             angle1=None, angle2=None):
     """Epipolar-constrained matching between two keyframes
     (SearchForTriangulation, ORBmatcher.cc:657-823): candidate pairs must lie
     near each other's epipolar line and away from the epipole ex2 in image 2.
+
+    The best/second ratio test is ESSENTIAL here even though the
+    reference's BoW-bucketed variant omits it: on self-similar texture the
+    epipolar band contains look-alike candidates, and an aliased pair
+    triangulates to a CONSISTENT wrong 3D point that passes every
+    reprojection gate (measured: one mapping pass flooded the local map
+    with ~20 cm-off points and tracking re-locked onto them). Ambiguous
+    rows must not triangulate at all.
 
     F12: [3, 3] fundamental matrix mapping image-1 points to image-2 lines.
     inv_sigma2_lvl2: [N2] per-kp information for the line test.
@@ -151,7 +160,10 @@ def search_for_triangulation(desc1, uv1, valid1, desc2, uv2, valid2,
 
     dist = hamming_matrix(desc1, desc2)
     mask = line_ok & ep_ok & valid1[:, None] & valid2[None, :]
-    best_idx, best, _ = masked_best2(dist, mask)
-    matched = best <= th_dist
+    best_idx, best, second = masked_best2(dist, mask)
+    matched = (best <= th_dist) & (
+        best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+    if angle1 is not None and angle2 is not None:
+        matched = rotation_consistency(angle1, angle2[best_idx], matched)
     matched = resolve_duplicates(best_idx, best, matched, desc2.shape[0])
     return jnp.where(matched, best_idx, -1), matched

@@ -95,10 +95,28 @@ def run_local_ba(K, m: MapState, kf_id, window: int, n_fixed: int,
 
     # prune observations the BA rejected (Optimizer.cc:741-760)
     Wtot, N = kf_sel.shape[0], m.kf_kp_pt.shape[1]
+    P = m.pt_xyz.shape[0]
     pruned = prob.obs_valid & ~keep
     kp_pt_sel = m.kf_kp_pt[kf_sel]
     kp_pt_sel = jnp.where(pruned.reshape(Wtot, N), -1, kp_pt_sel)
     m = m._replace(kf_kp_pt=m.kf_kp_pt.at[kf_sel].set(kp_pt_sel))
+    # a point whose observations fall below 2 is DEAD — the reference
+    # erases it via MapPoint::EraseObservation -> SetBadFlag (nObs < 2).
+    # Leaving it valid keeps a stale (often BA-orphaned, unconstrained)
+    # position matchable by tracking; measured on live maps as 100+ m
+    # garbage points matched at 95% rates right after a local BA.
+    n_pruned = jax.ops.segment_sum(
+        pruned.astype(jnp.int32), jnp.clip(prob.obs_pt, 0, P - 1),
+        num_segments=P)
+    pt_n_obs = jnp.maximum(m.pt_n_obs - n_pruned, 0)
+    # only points the BA actually rejected from die here — fresh
+    # single-observation spawns (n_obs=1 by construction) are candidates
+    # under MapPointCulling's recency window, not this rule
+    died = (n_pruned > 0) & (pt_n_obs < 2)
+    m = m._replace(
+        pt_n_obs=pt_n_obs,
+        pt_valid=m.pt_valid & ~died,
+        pt_obj=jnp.where(died, -1, m.pt_obj))
     return m
 
 

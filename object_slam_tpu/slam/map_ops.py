@@ -188,7 +188,8 @@ def triangulate_new_points(m: MapState, kf_id, n_neighbors: int,
         inv_s2 = inv_sigma2_lvl[jnp.clip(m_acc.kf_kp_level[nb], 0,
                                          inv_sigma2_lvl.shape[0] - 1)]
         midx, mok = matching.search_for_triangulation(
-            desc1, uv1, free1, desc2, uv2, free2, F12, ex2, inv_s2)
+            desc1, uv1, free1, desc2, uv2, free2, F12, ex2, inv_s2,
+            angle1=m_acc.kf_kp_angle[kf_id], angle2=m_acc.kf_kp_angle[nb])
         mok = mok & nbr_ok
 
         # --- point position: parallax-gated DLT vs stereo unprojection
@@ -277,7 +278,16 @@ def triangulate_new_points(m: MapState, kf_id, n_neighbors: int,
         scale_ok = (ratio_dist * ratio_factor > ratio_oct) \
             & (ratio_dist < ratio_oct * ratio_factor)
 
-        create = mok & has_src & ok1 & ok2 & scale_ok \
+        # measured-depth consistency: when either view carries an RGB-D /
+        # stereo depth, the created point must agree with it — a DLT of an
+        # aliased epipolar pair is self-consistent in reprojection but
+        # contradicts the physical depth measurement
+        zc1 = se3.apply(T1, pw[None])[0][:, 2]
+        zc2 = se3.apply(T2, pw[None])[0][:, 2]
+        depth_ok = jnp.where(z1 > 0, jnp.abs(zc1 - z1) < 0.15 * z1, True) \
+            & jnp.where(z2 > 0, jnp.abs(zc2 - z2) < 0.15 * z2, True)
+
+        create = mok & has_src & ok1 & ok2 & scale_ok & depth_ok \
             & jnp.all(jnp.isfinite(pw), axis=-1)
 
         # spawn into point slab

@@ -146,6 +146,8 @@ class SlamSystem:
         self._jit_local = jax.jit(self._local_impl)
         self._jit_insert = jax.jit(self._insert_impl)
         self._jit_mapping = jax.jit(self._mapping_impl)
+        self._jit_reloc_try = jax.jit(self._reloc_try_impl)
+        self._jit_fused = jax.jit(self._fused_impl)
         self._async = None
         if async_mapping:
             devs = jax.devices()
@@ -204,6 +206,20 @@ class SlamSystem:
         return local_mapping.process_new_keyframe(
             self.K, m, kf_id, self.scale_factors, self.inv_sigma2, self.cfg)
 
+    def _reloc_try_impl(self, m, frame, kf_id, rng):
+        return trk.relocalize_try(self.K, m, frame, kf_id, rng,
+                                  self.scale_factors, self.inv_sigma2)
+
+    def _fused_impl(self, m, frame, last, T_pred, last_kf_id,
+                    frames_since_kf, frame_id):
+        cfg = self.cfg
+        return trk.track_frame_fused(
+            self.K, m, frame, last, T_pred, last_kf_id, frames_since_kf,
+            frame_id, self.scale_factors, self.inv_sigma2, self.log_scale,
+            motion_radius=cfg.tracking.motion_model_radius,
+            close_depth=cfg.camera.th_depth * cfg.camera.baseline,
+            max_frames_between_kf=cfg.tracking.max_frames_between_kf)
+
     # ------------------------------------------------------------------
     # public per-frame API
     # ------------------------------------------------------------------
@@ -213,6 +229,7 @@ class SlamSystem:
             sem_arrays = self.builder.empty_semantics()
         frame = self.builder.build_rgbd(gray, depth, rgb, sem_arrays,
                                         timestamp)
+        self._host_ts = float(timestamp)
         return self._track(frame)
 
     def track_stereo(self, gray_l, gray_r, rgb, sem_arrays=None,
@@ -221,6 +238,7 @@ class SlamSystem:
             sem_arrays = self.builder.empty_semantics()
         frame = self.builder.build_stereo(gray_l, gray_r, rgb, sem_arrays,
                                           timestamp)
+        self._host_ts = float(timestamp)
         return self._track(frame)
 
     def track_mono(self, gray, timestamp=0.0):
@@ -315,6 +333,10 @@ class SlamSystem:
             self.last_frame = frame
             self.frame_id += 1
             return frame
+
+        if (self.objects is None and self.enable_mapping
+                and self.state == OK):
+            return self._track_fused(frame)
 
         # --- initial pose ---
         last = self.last_frame
@@ -501,26 +523,125 @@ class SlamSystem:
         return frame
 
     # ------------------------------------------------------------------
+    def _track_fused(self, frame: FrameData):
+        """Latency-optimal per-frame path (objects off, mapping on): the
+        whole tracking chain runs as ONE device program and the host
+        syncs on ONE packed vector — see trk.track_frame_fused. Keyframe
+        insertion/mapping adds work only on KF frames."""
+        cfg = self.cfg
+        last = self.last_frame
+        T_pred = jnp.asarray(self.velocity) @ last.Tcw
+        with self.profiler.span("track.fused"):
+            self.map, tr2, packed = self._jit_fused(
+                self.map, frame, last, T_pred,
+                jnp.int32(max(self.last_kf_id, 0)),
+                jnp.int32(self.frames_since_kf), jnp.int32(self.frame_id))
+            p = np.asarray(packed)          # the ONE host sync
+        Tcw_np = p[0:16].reshape(4, 4)
+        ok = p[48] > 0.5
+        need_kf = p[49] > 0.5
+        n_inl = int(p[50])
+
+        if not ok and n_inl < 10:
+            tr_rel = self._relocalize(frame)
+            if tr_rel is None:
+                self.state = LOST
+                frame = frame._replace(Tcw=last.Tcw)
+                self._record_np(self._host_ts, np.asarray(last.Tcw),
+                                False)
+                self.last_frame = frame
+                self.frame_id += 1
+                return frame
+            tr2 = tr_rel
+            Tcw_np = np.asarray(tr2.Tcw)
+            ok, need_kf = True, False
+            self.velocity = np.eye(4, dtype=np.float32)
+        elif ok:
+            self.velocity = p[16:32].reshape(4, 4)
+
+        self.state = OK if ok else LOST
+        frame = frame._replace(Tcw=tr2.Tcw, kp_pt=tr2.kp_pt,
+                               pose_ok=jnp.asarray(bool(ok)))
+        self.debug_last = {"tr_motion": tr2, "tr_local": tr2,
+                           "T_pred": T_pred, "frame": frame}
+
+        if ok and need_kf:
+            close = frame.valid & (frame.depth > 0) & (
+                frame.depth < cfg.camera.th_depth * cfg.camera.baseline)
+            spawn = close & (tr2.kp_pt < 0)
+            if self._async is not None and self._async.pending:
+                merged_kf = self._async.pending_kf
+                self.map = self._async.merge(self.map)
+                if self.loop_closer is not None and merged_kf >= 0:
+                    self.map, _ = self.loop_closer.on_keyframe(
+                        self.map, merged_kf)
+            self.map, kf_id = self._jit_insert(
+                self.map, frame, tr2.Tcw, tr2.kp_pt, spawn)
+            frame = frame._replace(kp_pt=self.map.kf_kp_pt[int(kf_id)])
+            self.last_kf_id = int(kf_id)
+            self.frames_since_kf = 0
+            if self._async is not None:
+                self._async.dispatch(self.map, int(kf_id))
+            else:
+                with self.profiler.span("mapping.process_kf"):
+                    self.map = self._jit_mapping(self.map, jnp.int32(kf_id))
+                if self.loop_closer is not None:
+                    with self.profiler.span("loop.on_keyframe"):
+                        self.map, _ = self.loop_closer.on_keyframe(
+                            self.map, int(kf_id))
+            self._record_np(self._host_ts, Tcw_np, True)
+        else:
+            if ok:
+                self.frames_since_kf += 1
+                # Tcr came back in the same packed sync — record with NO
+                # extra device traffic
+                self._record_precomputed(self._host_ts, Tcw_np,
+                                         p[32:48].reshape(4, 4), True)
+            else:
+                self._record_np(self._host_ts, Tcw_np, False)
+        self.last_frame = frame
+        self.frame_id += 1
+        return frame
+
+    def _record_precomputed(self, timestamp, Tcw_np, Tcr_np, tracked):
+        self.trajectory.append(FrameRecord(
+            timestamp=float(timestamp), Tcw=Tcw_np,
+            ref_kf=max(self.last_kf_id, 0), Tcr=Tcr_np, tracked=tracked))
+
+    def _record_np(self, timestamp, Tcw_np, tracked):
+        ref = max(self.last_kf_id, 0)
+        Tkw = np.asarray(self.map.kf_pose[ref])
+        self.trajectory.append(FrameRecord(
+            timestamp=float(timestamp), Tcw=Tcw_np, ref_kf=ref,
+            Tcr=Tcw_np @ np.linalg.inv(Tkw), tracked=tracked))
+
+    # ------------------------------------------------------------------
     def _relocalize(self, frame):
-        """Relocalization (Tracking.cc:1606): BoW inverted-index candidate
-        keyframes (KeyFrameDatabase::DetectRelocalizationCandidates,
-        KeyFrameDatabase.cc:199-310) narrow the point set, then PnP RANSAC
-        over descriptor matches. Without a vocabulary (loop module off) the
-        match runs against the whole map-point slab."""
+        """Relocalization (Tracking.cc:1606-1767). With a vocabulary:
+        BoW candidates (KeyFrameDatabase::DetectRelocalizationCandidates,
+        KeyFrameDatabase.cc:199-310), then the full per-candidate protocol
+        — match -> PnP RANSAC -> pose opt -> guided projection re-search —
+        accepted at >= 50 inliers (:1752). Without a vocabulary the match
+        runs once against the whole map-point slab (weaker gate)."""
         m = self.map
         P = m.pt_xyz.shape[0]
         pt_sel = m.pt_valid
         if self.loop_closer is not None and m.kf_bow.shape[1] > 1:
             from object_slam_tpu.loop import kfdb
             _, bow = self.loop_closer.vocab.transform(frame.desc, frame.valid)
-            cand, _ = kfdb.detect_reloc_candidates(m.kf_bow, m.kf_valid, bow)
-            if bool(jnp.any(cand)):
-                A = m.kf_kp_pt
-                cand_pts = jnp.zeros((P,), bool).at[
-                    jnp.clip(A, 0, P - 1).reshape(-1)].max(
-                    ((A >= 0) & m.kf_kp_valid & cand[:, None]).reshape(-1))
-                if int(jnp.sum(cand_pts & m.pt_valid)) >= 50:
-                    pt_sel = cand_pts & m.pt_valid
+            cand, scores = kfdb.detect_reloc_candidates(
+                m.kf_bow, m.kf_valid, bow)
+            cand_np = np.asarray(cand)
+            if cand_np.any():
+                order = np.argsort(-np.asarray(scores) * cand_np)
+                for kf in order[:5]:
+                    if not cand_np[kf]:
+                        break
+                    self.rng, k = jax.random.split(self.rng)
+                    tr = self._jit_reloc_try(m, frame, jnp.int32(kf), k)
+                    if int(tr.n_inliers) >= 50:
+                        return tr
+                return None
         # match frame descriptors against the candidate point set
         from object_slam_tpu.features import matching as match_mod
         midx, mok = match_mod.brute_match(

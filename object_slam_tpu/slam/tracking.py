@@ -203,6 +203,79 @@ def track_reference_kf(K, m: MapState, frame: FrameData, ref_kf,
 
 
 # ---------------------------------------------------------------------------
+# Stage: per-candidate relocalization
+# ---------------------------------------------------------------------------
+
+def relocalize_try(K, m: MapState, frame: FrameData, kf_id, rng,
+                   scale_factors, inv_sigma2_lvl) -> TrackResult:
+    """One relocalization attempt against candidate keyframe kf_id — the
+    full per-candidate protocol of Tracking::Relocalization
+    (Tracking.cc:1606-1767): descriptor match to the candidate's mapped
+    keypoints -> PnP RANSAC -> pose optimization -> guided projection
+    re-search against the candidate's covisible point set -> final pose
+    optimization. The caller gates acceptance at >= 50 inliers (:1752).
+    """
+    N = frame.uv.shape[0]
+    P = m.pt_xyz.shape[0]
+    Kcap = m.kf_pose.shape[0]
+
+    # 1. match to the candidate's mapped keypoints (SearchByBoW analogue)
+    kf_pt = m.kf_kp_pt[kf_id]
+    rows_ok = m.kf_kp_valid[kf_id] & (kf_pt >= 0) \
+        & m.pt_valid[jnp.clip(kf_pt, 0, P - 1)]
+    midx, mok = matching.brute_match(
+        m.kf_kp_desc[kf_id], rows_ok, frame.desc, frame.valid,
+        th_dist=50, nn_ratio=0.75,
+        angle_a=m.kf_kp_angle[kf_id], angle_b=frame.angle)
+    kp_pt = jnp.full((N,), -1, jnp.int32)
+    tgt = jnp.clip(midx, 0, N - 1)
+    kp_pt = kp_pt.at[tgt].set(jnp.where(mok, kf_pt, kp_pt[tgt]))
+    matched = (kp_pt >= 0) & frame.valid
+
+    # 2. PnP RANSAC for an absolute pose hypothesis
+    from object_slam_tpu.solvers.epnp import pnp_ransac
+    pw = m.pt_xyz[jnp.clip(kp_pt, 0, P - 1)]
+    pnp = pnp_ransac(rng, K, pw, frame.uv, matched, min_inliers=10)
+
+    # 3. pose optimization on the matches
+    tr = _optimize_from_matches(K, m, frame, pnp.Tcw, kp_pt,
+                                inv_sigma2_lvl, 10)
+
+    # 4. guided projection re-search over the candidate's covisible point
+    # set (Tracking.cc:1694-1744 re-searches by projection when the first
+    # optimization is short of 50)
+    W = covisibility(m)[kf_id]
+    nbr = (W > 0) | (jnp.arange(Kcap) == kf_id)
+    A = m.kf_kp_pt
+    cand_pts = jnp.zeros((P,), bool).at[
+        jnp.clip(A, 0, P - 1).reshape(-1)].max(
+        ((A >= 0) & m.kf_kp_valid & nbr[:, None]).reshape(-1))
+    cand_pts = cand_pts & m.pt_valid
+
+    pc = se3.apply(tr.Tcw, m.pt_xyz[None])[0]
+    uv = cam_mod.project(K, pc)
+    already = jnp.zeros((P,), bool).at[
+        jnp.clip(tr.kp_pt, 0, P - 1)].max(tr.kp_pt >= 0)
+    vis = cand_pts & ~already & (pc[:, 2] > 0) & cam_mod.in_image(K, uv)
+    kp_free = frame.valid & (tr.kp_pt < 0)
+    midx2, mok2 = matching.search_by_projection(
+        uv, jnp.zeros((P,), jnp.int32), m.pt_desc, vis,
+        frame.uv, frame.level, frame.desc, kp_free,
+        radius_per_row=jnp.full((P,), 10.0), th_dist=100,
+        nn_ratio=None, level_window=8)
+    kp_pt2 = tr.kp_pt
+    tgt2 = jnp.clip(midx2, 0, N - 1)
+    kp_pt2 = kp_pt2.at[tgt2].set(
+        jnp.where(mok2, jnp.arange(P, dtype=jnp.int32), kp_pt2[tgt2]))
+
+    # 5. final optimization over the widened match set
+    tr2 = _optimize_from_matches(K, m, frame, tr.Tcw, kp_pt2,
+                                 inv_sigma2_lvl, 50)
+    sane = jnp.all(jnp.isfinite(tr2.Tcw)) & pnp.ok
+    return tr2._replace(n_inliers=jnp.where(sane, tr2.n_inliers, 0))
+
+
+# ---------------------------------------------------------------------------
 # Stage: local-map tracking
 # ---------------------------------------------------------------------------
 
@@ -293,6 +366,123 @@ def track_local_map(K, m: MapState, frame: FrameData, tr: TrackResult,
 
 
 # ---------------------------------------------------------------------------
+# Fused per-frame step: one device program, one host sync
+# ---------------------------------------------------------------------------
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
+                      T_pred, last_kf_id, frames_since_kf, frame_id,
+                      scale_factors, inv_sigma2_lvl, log_scale: float,
+                      motion_radius: float, close_depth: float,
+                      max_frames_between_kf: int):
+    """The whole per-frame tracking chain as ONE compiled program:
+    motion-model (+ wide-window retry) -> reference-KF fallback ->
+    local-map tracking -> pre-LOST retry -> keyframe decision, with every
+    host-facing scalar packed into a single flat vector.
+
+    Why: the reference's control flow reads a dozen booleans per frame;
+    as separate jitted stages each read is a device->host sync, and on a
+    remote-attached TPU a sync is a network round trip — the latency
+    floor was syncs, not FLOPs. All gates become lax.cond branches (XLA
+    executes exactly one) and the host reads ONE array per frame.
+
+    Returns (m, TrackResult, packed [56] f32):
+      packed[0:16]  Tcw (row-major)
+      packed[16:32] velocity = Tcw @ inv(last.Tcw)
+      packed[32:48] Tcr = Tcw @ inv(kf_pose[last_kf_id])
+      packed[48]    ok (1/0)         packed[49] need_kf (1/0)
+      packed[50]    n_inliers        packed[51] n_matches
+      packed[52]    ref_kf           packed[53] n_close_tracked
+      packed[54]    n_close_untracked  packed[55] motion n_inliers
+    """
+    # --- stage A: motion model, wide-window retry on thin matches
+    tr = track_motion_model(
+        K, m, frame, last.uv, last.kp_pt, last.level, last.valid,
+        T_pred, scale_factors, inv_sigma2_lvl, radius_th=motion_radius,
+        T_last=last.Tcw)
+
+    def wide(_):
+        return track_motion_model(
+            K, m, frame, last.uv, last.kp_pt, last.level, last.valid,
+            T_pred, scale_factors, inv_sigma2_lvl,
+            radius_th=2.0 * motion_radius, T_last=last.Tcw)
+
+    tr = jax.lax.cond(tr.n_matches < 20, wide, lambda _: tr, None)
+
+    # --- stage B: reference-KF fallback (Tracking.cc:364-379; the <20
+    # pre-opt refusal is :977)
+    def refkf(_):
+        tr_kf = track_reference_kf(K, m, frame, last_kf_id, last.Tcw,
+                                   inv_sigma2_lvl)
+        return _tree_where(tr_kf.n_inliers > tr.n_inliers, tr_kf, tr)
+
+    tr = jax.lax.cond((tr.n_matches < 20) | (tr.n_inliers < 10),
+                      refkf, lambda _: tr, None)
+    tr_motion_inl = tr.n_inliers
+
+    # --- stage C: local-map tracking
+    tr2, m2, ref_kf = track_local_map(
+        K, m, frame, tr, scale_factors, inv_sigma2_lvl, log_scale,
+        T_last=last.Tcw)
+
+    # --- stage D: pre-LOST retry through the reference KF
+    def retry(_):
+        tr_kf = track_reference_kf(K, m, frame, last_kf_id, last.Tcw,
+                                   inv_sigma2_lvl)
+        tr2b, m2b, refb = track_local_map(
+            K, m, frame, tr_kf, scale_factors, inv_sigma2_lvl, log_scale,
+            T_last=last.Tcw)
+        better = tr2b.n_inliers > tr2.n_inliers
+        return (_tree_where(better, tr2b, tr2),
+                _tree_where(better, m2b, m2),
+                jnp.where(better, refb, ref_kf))
+
+    tr2, m2, ref_kf = jax.lax.cond(
+        (tr2.n_inliers < 30) & (tr.n_inliers >= 10),
+        retry, lambda _: (tr2, m2, ref_kf), None)
+    m = m2
+
+    ok = (tr2.n_inliers >= 30) | ((tr2.n_inliers >= 10) & (frame_id < 5))
+
+    # --- stage E: keyframe decision (NeedNewKeyFrame, Tracking.cc:1242)
+    close = frame.valid & (frame.depth > 0) & (frame.depth < close_depth)
+    tracked = tr2.kp_pt >= 0
+    n_close_trk = jnp.sum((close & tracked).astype(jnp.int32))
+    n_close_untrk = jnp.sum((close & ~tracked).astype(jnp.int32))
+    P = m.pt_xyz.shape[0]
+    ref_pt = m.kf_kp_pt[last_kf_id]
+    min_obs = jnp.where(m.n_kf > 2, 3, 1)
+    ref_matches = jnp.sum(((ref_pt >= 0)
+                           & (m.pt_n_obs[jnp.clip(ref_pt, 0, P - 1)]
+                              >= min_obs)
+                           & m.pt_valid[jnp.clip(ref_pt, 0, P - 1)])
+                          .astype(jnp.int32))
+    need_close = (n_close_trk < 100) & (n_close_untrk > 70)
+    weak = tr2.n_inliers < ref_matches.astype(jnp.float32) * 0.75
+    c1a = frames_since_kf >= max_frames_between_kf
+    c2 = weak | need_close
+    need_kf = ok & (tr2.n_inliers > 15) & (c1a | c2)
+
+    vel = tr2.Tcw @ se3.inverse(last.Tcw)
+    Tcr = tr2.Tcw @ se3.inverse(m.kf_pose[jnp.clip(last_kf_id, 0,
+                                                   m.kf_pose.shape[0] - 1)])
+    packed = jnp.concatenate([
+        tr2.Tcw.reshape(-1), vel.reshape(-1), Tcr.reshape(-1),
+        jnp.stack([ok.astype(jnp.float32), need_kf.astype(jnp.float32),
+                   tr2.n_inliers.astype(jnp.float32),
+                   tr2.n_matches.astype(jnp.float32),
+                   ref_kf.astype(jnp.float32),
+                   n_close_trk.astype(jnp.float32),
+                   n_close_untrk.astype(jnp.float32),
+                   tr_motion_inl.astype(jnp.float32)])])
+    return m, tr2, packed
+
+
+# ---------------------------------------------------------------------------
 # Keyframe policy
 # ---------------------------------------------------------------------------
 
@@ -307,7 +497,12 @@ def need_new_keyframe(n_inliers, n_ref_matches, n_close_tracked,
     need_close = (n_close_tracked < 100) and (n_close_untracked > 70)
     ratio = 0.75 if not sensor_is_mono else 0.9
     weak = n_inliers < n_ref_matches * ratio
-    c1 = frames_since_kf >= max_frames
+    c1a = frames_since_kf >= max_frames
+    # c1b (mapper idle) is implicitly true: mapping is synchronous or
+    # merged by the next keyframe decision. c1c: tracking is collapsing
+    # relative to the reference KF — insert NOW (Tracking.cc:1296)
+    c1c = (not sensor_is_mono) and (n_inliers < n_ref_matches * 0.25
+                                    or need_close)
     c2 = weak or need_close
     ok_inliers = n_inliers > 15
-    return bool(ok_inliers and (c1 or c2))
+    return bool(ok_inliers and (c1a or c1c or c2))

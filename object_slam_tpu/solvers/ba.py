@@ -211,6 +211,30 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
         dxp = jnp.einsum('pkl,pl->pk', Hpp_inv, bp - tp)
         dxp = jnp.where(prob.pt_valid[:, None], dxp, 0.0)
 
+        # Trust region on point steps: a point constrained by two nearly
+        # parallel rays has a near-singular Hpp and an unbounded step
+        # along the ray — measured runaway to 100+ m on live maps. Cap
+        # each step at 25% of the point's distance to its mean observer
+        # (scale-free; healthy updates are orders of magnitude smaller).
+        obs_w = jnp.where(w > 0, 1.0, 0.0)
+        n_obs_pt = seg_pt(obs_w)
+        cams = -jnp.einsum('oji,oj->oi', kf_pose[prob.obs_kf, :3, :3],
+                           kf_pose[prob.obs_kf, :3, 3])
+        mean_cam = seg_pt(cams * obs_w[:, None]) \
+            / jnp.maximum(n_obs_pt[:, None], 1.0)
+        d_pt = jnp.linalg.norm(pt_xyz - mean_cam, axis=-1)
+        step = jnp.linalg.norm(dxp, axis=-1)
+        cap = 0.25 * d_pt + 1e-3
+        dxp = dxp * (jnp.minimum(step, cap)
+                     / jnp.maximum(step, 1e-12))[:, None]
+
+        # same trust region for poses: an under-constrained window KF
+        # (few live observations after weighting) can take an unbounded
+        # CG step and drag every point it back-substitutes with it
+        cstep = jnp.linalg.norm(dxc, axis=-1)
+        dxc = dxc * (jnp.minimum(cstep, 0.5)
+                     / jnp.maximum(cstep, 1e-12))[:, None]
+
         kf_pose = jnp.where(free_kf[:, None, None],
                             se3.retract(kf_pose, dxc), kf_pose)
         pt_xyz = pt_xyz + dxp

@@ -34,9 +34,16 @@ def main():
     if args.cpu_mesh:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                    f" --xla_force_host_platform_device_count={args.cpu_mesh}")
+    from object_slam_tpu.parallel.distributed import \
+        maybe_initialize_distributed
+    multihost = maybe_initialize_distributed()   # no-op without coordinator
     import jax
     if args.cpu_mesh:
         jax.config.update("jax_platforms", "cpu")
+    if multihost:
+        print(json.dumps({"distributed": True,
+                          "process": jax.process_index(),
+                          "devices": jax.device_count()}))
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh

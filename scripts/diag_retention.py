@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--no-ba", action="store_true",
                     help="skip local BA in mapping")
     ap.add_argument("--traj", choices=["orbit", "loop"], default="orbit")
+    ap.add_argument("--traj-frames", type=int, default=0,
+                    help="full trajectory length (pan rate); default = "
+                         "--frames")
     ap.add_argument("--flat", action="store_true",
                     help="old degenerate single-plane scene (room=False)")
     args = ap.parse_args()
@@ -49,7 +52,8 @@ def main():
     scene = SyntheticScene.make(cfg, seed=3, n_objects=2, plane_z=4.0,
                                 room=not args.flat)
     if args.traj == "loop":
-        poses = loop_trajectory(args.frames)
+        poses = loop_trajectory(args.traj_frames or args.frames)
+        poses = poses[:args.frames]
     else:
         poses = orbit_poses(args.frames, radius=args.radius, step=args.step)
 
@@ -123,6 +127,11 @@ def main():
                     np.asarray(sys_.map.pt_xyz)[kp_pt[sel]] - pw_gt, axis=1)
                 extra += (f" | map3d med={np.median(e3d)*1000:6.1f}mm "
                           f"p90={np.percentile(e3d, 90)*1000:6.1f}mm")
+                pv = np.asarray(sys_.map.pt_valid)
+                px = np.asarray(sys_.map.pt_xyz)
+                far = pv & (np.linalg.norm(px, axis=1) > 20.0)
+                if far.sum():
+                    extra += f" | FAR_PTS={far.sum()}"
             if err > 0.02 and os.environ.get("OSLAM_DUMP"):
                 out = os.environ["OSLAM_DUMP"]
                 os.makedirs(out, exist_ok=True)

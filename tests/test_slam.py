@@ -172,3 +172,45 @@ class TestMapOps:
         assert W[0, 1] == 30 and W[1, 0] == 30
         assert W[1, 2] == 10 and W[0, 2] == 10
         assert W[0, 0] == 0
+
+
+@pytest.mark.slow
+class TestAsyncMapping:
+    def test_async_matches_sync_quality(self):
+        """Mapping dispatched off the frame path on a snapshot + merged
+        (the LocalMapping-thread analogue) must not cost accuracy."""
+        cfg = small_cfg()
+        scene = SyntheticScene.make(cfg, seed=1, n_objects=2)
+        poses = orbit_poses(12, step=0.02)
+        _, est_s, gt, oks_s = run_sequence(cfg, scene, poses,
+                                           enable_objects=False)
+        sys_a, est_a, _, oks_a = run_sequence(cfg, scene, poses,
+                                              enable_objects=False,
+                                              async_mapping=True)
+        assert all(oks_a), oks_a
+        assert ate_rmse(est_a, gt) < max(2.0 * ate_rmse(est_s, gt), 0.02)
+        assert sys_a._async is not None
+
+
+@pytest.mark.slow
+class TestLocalizationMode:
+    def test_vo_survives_mid_sequence_switch(self):
+        """activate_localization_mode mid-sequence: temporal VO points
+        (Tracking.cc:384-514) keep tracking alive on the frozen map along
+        the rest of the trajectory."""
+        cfg = small_cfg()
+        scene = SyntheticScene.make(cfg, seed=1, n_objects=0)
+        poses = orbit_poses(18, step=0.015)
+        sys_ = SlamSystem(cfg, enable_objects=False)
+        lost_after_switch = 0
+        for i, T in enumerate(poses):
+            if i == 9:
+                sys_.activate_localization_mode()
+            gray, depth, rgb, sem = scene.render_rgbd(T)
+            f = sys_.track_rgbd(jnp.asarray(gray), jnp.asarray(depth),
+                                jnp.asarray(rgb), timestamp=i / 30.0)
+            if i >= 9 and not bool(f.pose_ok):
+                lost_after_switch += 1
+        assert lost_after_switch <= 1, lost_after_switch
+        # the map must not have grown after the switch
+        assert sys_.n_keyframes <= 9
