@@ -87,9 +87,14 @@ def match_stereo(kpl_uv, kpl_level, kpl_desc, kpl_valid,
     denom = jnp.maximum(s_m + s_p - 2.0 * s_0, 1e-6)
     delta = 0.5 * (s_m - s_p) / denom
     delta = jnp.clip(delta, -1.0, 1.0)
-    ur = ur0 + shifts[bi_c] + delta
-
-    disparity = u_l - ur
+    # the SAD windows sample at ROUNDED centers (round(u_l) on the left,
+    # round(ur0)+shift on the right) — the measured alignment therefore
+    # relates the rounded coordinates, and the disparity must be formed
+    # from them; mixing in the unrounded subpixel keypoint coordinates
+    # injects up to +-0.5 px of disparity bias (= 25 cm at 2.5 m on the
+    # small-baseline test geometry)
+    disparity = jnp.round(u_l) - (jnp.round(ur0) + shifts[bi_c] + delta)
+    ur = u_l - disparity
     ok = matched & (disparity > 1e-3) & (disparity < max_d)
     depth = jnp.where(ok, bf / jnp.maximum(disparity, 1e-6), -1.0)
     ur = jnp.where(ok, ur, -1.0)

@@ -211,11 +211,12 @@ class SlamSystem:
                                   self.scale_factors, self.inv_sigma2)
 
     def _fused_impl(self, m, frame, last, T_pred, last_kf_id,
-                    frames_since_kf, frame_id):
+                    frames_since_kf, frame_id, last_kf_inliers):
         cfg = self.cfg
         return trk.track_frame_fused(
             self.K, m, frame, last, T_pred, last_kf_id, frames_since_kf,
-            frame_id, self.scale_factors, self.inv_sigma2, self.log_scale,
+            frame_id, last_kf_inliers,
+            self.scale_factors, self.inv_sigma2, self.log_scale,
             motion_radius=cfg.tracking.motion_model_radius,
             close_depth=cfg.camera.th_depth * cfg.camera.baseline,
             max_frames_between_kf=cfg.tracking.max_frames_between_kf)
@@ -324,6 +325,7 @@ class SlamSystem:
                 self.state = OK
                 self.last_kf_id = int(kf_id)
                 self.frames_since_kf = 0
+                self._kf_inliers = n_depth
                 if self.loop_closer is not None:
                     self.map, _ = self.loop_closer.on_keyframe(
                         self.map, int(kf_id))
@@ -482,7 +484,8 @@ class SlamSystem:
             if trk.need_new_keyframe(
                     n_inl, ref_matches, n_close_trk, n_close_untrk,
                     self.frames_since_kf,
-                    max_frames=cfg.tracking.max_frames_between_kf):
+                    max_frames=cfg.tracking.max_frames_between_kf,
+                    last_kf_inliers=getattr(self, "_kf_inliers", 0)):
                 spawn = close & ~tracked & frame.valid
                 if self._async is not None and self._async.pending:
                     # a mapping pass is still in flight: fold it in before
@@ -503,6 +506,7 @@ class SlamSystem:
                 frame = frame._replace(kp_pt=self.map.kf_kp_pt[int(kf_id)])
                 self.last_kf_id = int(kf_id)
                 self.frames_since_kf = 0
+                self._kf_inliers = n_inl
                 if self._async is not None:
                     with self.profiler.span("mapping.dispatch"):
                         self._async.dispatch(self.map, int(kf_id))
@@ -535,7 +539,8 @@ class SlamSystem:
             self.map, tr2, packed = self._jit_fused(
                 self.map, frame, last, T_pred,
                 jnp.int32(max(self.last_kf_id, 0)),
-                jnp.int32(self.frames_since_kf), jnp.int32(self.frame_id))
+                jnp.int32(self.frames_since_kf), jnp.int32(self.frame_id),
+                jnp.int32(getattr(self, "_kf_inliers", 0)))
             p = np.asarray(packed)          # the ONE host sync
         Tcw_np = p[0:16].reshape(4, 4)
         ok = p[48] > 0.5
@@ -580,6 +585,7 @@ class SlamSystem:
             frame = frame._replace(kp_pt=self.map.kf_kp_pt[int(kf_id)])
             self.last_kf_id = int(kf_id)
             self.frames_since_kf = 0
+            self._kf_inliers = n_inl
             if self._async is not None:
                 self._async.dispatch(self.map, int(kf_id))
             else:

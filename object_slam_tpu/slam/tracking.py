@@ -376,6 +376,7 @@ def _tree_where(pred, a, b):
 
 def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
                       T_pred, last_kf_id, frames_since_kf, frame_id,
+                      last_kf_inliers,
                       scale_factors, inv_sigma2_lvl, log_scale: float,
                       motion_radius: float, close_depth: float,
                       max_frames_between_kf: int):
@@ -463,8 +464,15 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
                           .astype(jnp.int32))
     need_close = (n_close_trk < 100) & (n_close_untrk > 70)
     weak = tr2.n_inliers < ref_matches.astype(jnp.float32) * 0.75
+    # decay trigger: tracked inliers fell to 60% of the count at the last
+    # insertion. The reference's ratio test alone starves here: sparse
+    # keyframes -> few >=3-obs points -> low nRefMatches -> the 0.75 gate
+    # fires only after matching has already collapsed below ~100
+    # (measured as the onset of every long-sequence drift episode).
+    decayed = tr2.n_inliers.astype(jnp.float32) \
+        < 0.6 * last_kf_inliers.astype(jnp.float32)
     c1a = frames_since_kf >= max_frames_between_kf
-    c2 = weak | need_close
+    c2 = weak | need_close | decayed
     need_kf = ok & (tr2.n_inliers > 15) & (c1a | c2)
 
     vel = tr2.Tcw @ se3.inverse(last.Tcw)
@@ -488,21 +496,25 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
 
 def need_new_keyframe(n_inliers, n_ref_matches, n_close_tracked,
                       n_close_untracked, frames_since_kf,
-                      max_frames: int, sensor_is_mono: bool = False):
+                      max_frames: int, sensor_is_mono: bool = False,
+                      last_kf_inliers: int = 0):
     """NeedNewKeyFrame (Tracking.cc:1242-1326), reduced to its decision
-    variables: tracked-vs-reference ratio, close-point budget, frame gap.
+    variables: tracked-vs-reference ratio, close-point budget, frame gap,
+    plus the decay trigger vs the inlier count at the LAST insertion (see
+    track_frame_fused for the rationale).
 
     All args are ints (host side). Returns bool.
     """
     need_close = (n_close_tracked < 100) and (n_close_untracked > 70)
     ratio = 0.75 if not sensor_is_mono else 0.9
     weak = n_inliers < n_ref_matches * ratio
+    decayed = n_inliers < 0.6 * last_kf_inliers
     c1a = frames_since_kf >= max_frames
     # c1b (mapper idle) is implicitly true: mapping is synchronous or
     # merged by the next keyframe decision. c1c: tracking is collapsing
     # relative to the reference KF — insert NOW (Tracking.cc:1296)
     c1c = (not sensor_is_mono) and (n_inliers < n_ref_matches * 0.25
                                     or need_close)
-    c2 = weak or need_close
+    c2 = weak or need_close or decayed
     ok_inliers = n_inliers > 15
     return bool(ok_inliers and (c1a or c1c or c2))

@@ -214,3 +214,27 @@ class TestLocalizationMode:
         assert lost_after_switch <= 1, lost_after_switch
         # the map must not have grown after the switch
         assert sys_.n_keyframes <= 9
+
+
+@pytest.mark.slow
+class TestStereoEndToEnd:
+    def test_stereo_tracking_sequence(self):
+        """Full stereo pipeline (Frame.cc:706-880 SAD subpixel path) on a
+        rendered rectified pair sequence: build from L/R images only —
+        depth comes from stereo matching, not the renderer."""
+        cfg = small_cfg()
+        cfg = dataclasses.replace(cfg, sensor="stereo")
+        scene = SyntheticScene.make(cfg, seed=4, n_objects=0)
+        from object_slam_tpu.datasets.synthetic import loop_trajectory
+        poses = loop_trajectory(120)[:20]
+        sys_ = SlamSystem(cfg, enable_objects=False)
+        errs, oks = [], []
+        for i, T in enumerate(poses):
+            gl, gr, depth, rgb, sem = scene.render_stereo(T)
+            f = sys_.track_stereo(jnp.asarray(gl), jnp.asarray(gr),
+                                  jnp.asarray(rgb), timestamp=i / 30.0)
+            errs.append(np.linalg.norm(np.asarray(f.Tcw)[:3, 3] - T[:3, 3]))
+            oks.append(bool(f.pose_ok))
+        assert sum(oks) >= len(poses) - 1, oks
+        errs = np.asarray(errs)
+        assert np.sqrt((errs ** 2).mean()) < 0.06, errs
