@@ -41,6 +41,18 @@ def masked_best2(dist, mask):
     return best_idx, best, second
 
 
+def masked_best2_idx(dist, mask):
+    """masked_best2 that also returns the second-best column index (for
+    level-aware ratio tests)."""
+    d = jnp.where(mask, dist, BIG)
+    best_idx = jnp.argmin(d, axis=1)
+    best = jnp.take_along_axis(d, best_idx[:, None], axis=1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(BIG)
+    second_idx = jnp.argmin(d2, axis=1)
+    second = jnp.take_along_axis(d2, second_idx[:, None], axis=1)[:, 0]
+    return best_idx, best, second_idx, second
+
+
 def rotation_consistency(angle_a, angle_b, matched_mask, histo_length: int = 30):
     """Keep only matches in the 3 dominant rotation-difference bins
     (ORBmatcher.cc:1601-1643 ComputeThreeMaxima)."""
@@ -96,11 +108,19 @@ def search_by_projection(proj_uv, proj_level, proj_desc, proj_valid,
             jnp.abs(proj_ur[:, None] - kp_ur[None, :]) < r_ur[:, None])
         mask = mask & ur_ok
 
-    best_idx, best, second = masked_best2(dist, mask)
+    best_idx, best, second_idx, second = masked_best2_idx(dist, mask)
     matched = best <= th_dist
     if nn_ratio is not None:
-        matched = matched & (best.astype(jnp.float32) <
-                             nn_ratio * second.astype(jnp.float32))
+        # the reference applies the best/second ratio ONLY when both
+        # candidates sit on the SAME pyramid level (ORBmatcher.cc:90-127
+        # `if(bestLevel==bestLevel2 && bestDist>mfNNratio*bestDist2)`) — a
+        # runner-up on another level is the same physical corner seen at a
+        # different scale, and rejecting on it starves retention exactly
+        # where cross-level keypoint flips are common
+        same_lvl = kp_level[best_idx] == kp_level[second_idx]
+        ratio_fail = same_lvl & (best.astype(jnp.float32) >=
+                                 nn_ratio * second.astype(jnp.float32))
+        matched = matched & ~ratio_fail
     matched = resolve_duplicates(best_idx, best, matched, kp_uv.shape[0])
     return jnp.where(matched, best_idx, -1), matched
 

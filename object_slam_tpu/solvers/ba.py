@@ -119,12 +119,39 @@ def _spd_inv3(H):
     return inv
 
 
+def _robust_cost(K: Intrinsics, prob: BAProblem, kf_pose, pt_xyz,
+                 chi2_mono, chi2_stereo, psum):
+    """Total Huber cost over live observations (the LM acceptance metric).
+    Points behind a camera carry a large penalty instead of silently
+    leaving the live set — otherwise a step that pushes points to z<0
+    reads as a cost decrease."""
+    r, _, _, stereo, z = _residual_jacobians(K, prob, kf_pose, pt_xyz)
+    e2 = jnp.where(stereo, jnp.sum(r * r, -1),
+                   r[..., 0] ** 2 + r[..., 1] ** 2)
+    chi2 = e2 * prob.obs_inv_sigma2
+    d2 = jnp.where(stereo, chi2_stereo, chi2_mono)
+    rho = jnp.where(chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * chi2) - d2)
+    rho = rho + jnp.where(z <= 0, 1e4, 0.0)
+    live = (prob.obs_valid & prob.kf_valid[prob.obs_kf]
+            & prob.pt_valid[prob.obs_pt])
+    return psum(jnp.sum(jnp.where(live, rho, 0.0)))
+
+
 def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
                chi2_mono: float = 5.991, chi2_stereo: float = 7.815,
-               damping: float = 1e-3, cg_iters: int = 24,
+               damping: float = 1e-4, cg_iters: int = 24,
                robust: bool = True,
                comm_axis: str | None = None):
-    """Run n_iters damped-GN/Schur iterations; returns (kf_pose, pt_xyz).
+    """Run n_iters Levenberg-Marquardt/Schur iterations; returns
+    (kf_pose, pt_xyz).
+
+    True LM, not fixed-damping GN: Marquardt scaling (lambda * diag(H))
+    plus step acceptance — a candidate that RAISES the robust cost is
+    rejected and lambda grows. Fixed-damping GN diverged from
+    near-optimal states (measured: chi2 med 0.14 -> 4.7 over 5 iters at
+    K=5, 0.28 m pose motion), and the post-BA chi2 prune then erased
+    most of the map — g2o's LM step control was the load-bearing part
+    of the reference schedule (Optimizer.cc:660-707).
 
     comm_axis: if set, observation slabs are sharded over that mesh axis and
     all obs-reductions are psum'd (multi-chip BA). Pose/point slabs are
@@ -146,7 +173,7 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
     free_kf = (~prob.kf_fixed) & prob.kf_valid
 
     def one_iter(_, carry):
-        kf_pose, pt_xyz = carry
+        kf_pose, pt_xyz, lam, cost = carry
         r, Jc, Jp, stereo, z = _residual_jacobians(K, prob, kf_pose, pt_xyz)
         w, _ = _weights(prob, r, stereo, z, chi2_mono, chi2_stereo, robust)
 
@@ -160,9 +187,13 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
         bc = -seg_kf(jnp.einsum('oik,oi->ok', Jcw, r))             # [K,6]
         bp = -seg_pt(jnp.einsum('oik,oi->ok', Jpw, r))             # [P,3]
 
-        lam = damping
-        Hcc = Hcc + lam * jnp.eye(6, dtype=Hcc.dtype)
-        Hpp = Hpp + lam * jnp.eye(3, dtype=Hpp.dtype)
+        # Marquardt damping: lambda scales the diagonal of H itself (the
+        # Hessian entries are O(fx^2) — an absolute lambda*I is invisible
+        # at any usable magnitude), plus a tiny absolute floor.
+        eye6 = jnp.eye(6, dtype=Hcc.dtype)
+        eye3 = jnp.eye(3, dtype=Hpp.dtype)
+        Hcc = Hcc + lam * (Hcc * eye6) + 1e-6 * eye6
+        Hpp = Hpp + lam * (Hpp * eye3) + 1e-6 * eye3
         Hpp_inv = _spd_inv3(Hpp)
 
         # Schur RHS: b~ = bc - Wcp Hpp^-1 bp (per obs, scattered to kf)
@@ -235,13 +266,28 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
         dxc = dxc * (jnp.minimum(cstep, 0.5)
                      / jnp.maximum(cstep, 1e-12))[:, None]
 
-        kf_pose = jnp.where(free_kf[:, None, None],
-                            se3.retract(kf_pose, dxc), kf_pose)
-        pt_xyz = pt_xyz + dxp
-        return kf_pose, pt_xyz
+        cand_pose = jnp.where(free_kf[:, None, None],
+                              se3.retract(kf_pose, dxc), kf_pose)
+        cand_pt = pt_xyz + dxp
 
-    return jax.lax.fori_loop(0, n_iters, one_iter,
-                             (prob.kf_pose, prob.pt_xyz))
+        # LM step control: accept only cost-decreasing candidates
+        cand_cost = _robust_cost(K, prob, cand_pose, cand_pt,
+                                 chi2_mono, chi2_stereo, psum)
+        accept = cand_cost < cost
+        kf_pose = jnp.where(accept, cand_pose, kf_pose)
+        pt_xyz = jnp.where(accept, cand_pt, pt_xyz)
+        cost = jnp.where(accept, cand_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 8.0),
+                       1e-6, 1e3)
+        return kf_pose, pt_xyz, lam, cost
+
+    cost0 = _robust_cost(K, prob, prob.kf_pose, prob.pt_xyz,
+                         chi2_mono, chi2_stereo, psum)
+    kf_pose, pt_xyz, _, _ = jax.lax.fori_loop(
+        0, n_iters, one_iter,
+        (prob.kf_pose, prob.pt_xyz, jnp.asarray(damping, prob.pt_xyz.dtype),
+         cost0))
+    return kf_pose, pt_xyz
 
 
 def ba_chi2(K: Intrinsics, prob: BAProblem, kf_pose, pt_xyz):

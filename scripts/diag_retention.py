@@ -40,7 +40,12 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # config.update beats the env var: the axon sitecustomize forces
+    # jax_platforms="axon,cpu" via jax.config at import, so an env-level
+    # JAX_PLATFORMS=cpu is silently ignored. OSLAM_PLATFORM=axon runs the
+    # diagnostic on the attached TPU instead (remote-compile: slow cold).
+    jax.config.update("jax_platforms",
+                      os.environ.get("OSLAM_PLATFORM", "cpu"))
 
     from object_slam_tpu.config import SlamConfig
     from object_slam_tpu.datasets.synthetic import (SyntheticScene,
@@ -152,7 +157,9 @@ def main():
         print(f"f={i:3d} tracked={int(rec.tracked)} "
               f"state={sys_.state} err={err*1000:7.1f}mm "
               f"rot={rot_deg:5.2f}deg dC=({dC[0]*1000:6.1f},"
-              f"{dC[1]*1000:6.1f},{dC[2]*1000:6.1f})mm{extra}", flush=True)
+              f"{dC[1]*1000:6.1f},{dC[2]*1000:6.1f})mm "
+              f"kfs={sys_.n_keyframes} pts={sys_.n_points}{extra}",
+              flush=True)
     errs = np.asarray(errs)
     n_ok = sum(1 for r in sys_.trajectory if r.tracked)
     print(f"\ntracked {n_ok}/{len(poses)} frames; "
