@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--traj", choices=["orbit", "loop"], default="orbit",
                     help="'loop' = closed in-room circuit that revisits "
                          "the start (loop-closure / long-sequence testing)")
+    ap.add_argument("--turns", type=float, default=1.0,
+                    help="loop sweep in full turns; >1 retraces the ring "
+                         "so the revisit spans many keyframes (gives the "
+                         "3-consecutive-KF loop-consistency gate, "
+                         "LoopClosing.cc:150-226, something to see)")
     ap.add_argument("--seed", type=int, default=3)
     args = ap.parse_args()
 
@@ -38,7 +43,9 @@ def main():
     for b in scene.boxes:           # big objects for the VGA geometry
         b['size'] = 0.9
     if args.traj == "loop":
-        poses = loop_trajectory(args.frames)
+        import numpy as _np
+        poses = loop_trajectory(args.frames,
+                                sweep=2 * _np.pi * args.turns)
     else:
         poses = orbit_poses(args.frames, step=args.step)
 

@@ -31,8 +31,16 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--loop", action="store_true")
     ap.add_argument("--no-objects", action="store_true")
+    ap.add_argument("--platform", default=None, choices=["cpu", "axon"],
+                    help="force the JAX backend (config.update beats the "
+                         "sitecustomized jax_platforms; the env var alone "
+                         "is ignored). Default: whatever is registered "
+                         "(the attached TPU when present).")
     args = ap.parse_args()
 
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from object_slam_tpu.config import SlamConfig
     from object_slam_tpu.datasets import tum
