@@ -178,6 +178,29 @@ class LoopConfig:
 
 
 @dataclass(frozen=True)
+class MappingConfig:
+    """Back-end mapping policy (LocalMapping.cc) — including the three
+    documented behavior deviations from the reference, promoted to flags
+    so they can be A/B-measured on a sequence (PARITY.md records the
+    measured verdicts; defaults are the winners)."""
+
+    # MapPointCulling scope: True = both tests apply only during a point's
+    # first ~3 keyframes (the reference's mlpRecentAddedMapPoints window,
+    # LocalMapping.cc:171-206); False = round-1 behavior, every point
+    # tested at every keyframe forever.
+    cull_recency_scope: bool = True
+    # Distinctive-descriptor re-election after fusion (min-median Hamming,
+    # MapPoint::ComputeDistinctiveDescriptors); False = keep the creation
+    # descriptor (round-1 behavior).
+    reelect_descriptors: bool = True
+    # KeyFrameCulling redundancy counting: True = an observation is only
+    # redundant when >=3 OTHER keyframes see the point at the same or
+    # finer scale (scaleLevel <= scaleLevel+1, LocalMapping.cc:672-683);
+    # False = scale-free counting (strictly more aggressive culling).
+    kf_cull_scale_condition: bool = False
+
+
+@dataclass(frozen=True)
 class CapacityConfig:
     """Static slab sizes for the functional map (TPU static shapes)."""
 
@@ -202,6 +225,7 @@ class SlamConfig:
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
     loop: LoopConfig = field(default_factory=LoopConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
     caps: CapacityConfig = field(default_factory=CapacityConfig)
     sensor: str = "rgbd"             # rgbd | stereo | mono
     indoor: bool = True              # selects indoor/outdoor tolerances

@@ -123,7 +123,8 @@ def run_local_ba(K, m: MapState, kf_id, window: int, n_fixed: int,
 def process_new_keyframe(K, m: MapState, kf_id, scale_factors,
                          inv_sigma2_lvl, cfg) -> MapState:
     """The LocalMapping pipeline for one keyframe."""
-    m = map_ops.cull_points(m, kf_id)
+    m = map_ops.cull_points(m, kf_id,
+                            recency_scope=cfg.mapping.cull_recency_scope)
     m = map_ops.triangulate_new_points(
         m, kf_id, n_neighbors=5, K=K,
         inv_sigma2_lvl=inv_sigma2_lvl, scale_factors=scale_factors)
@@ -132,9 +133,12 @@ def process_new_keyframe(K, m: MapState, kf_id, scale_factors,
         scale_factors=scale_factors, inv_sigma2_lvl=inv_sigma2_lvl)
     # distinctive-descriptor re-election + normal refresh after fusion
     # (LocalMapping::SearchInNeighbors tail, LocalMapping.cc:540-552)
-    m = recompute_point_stats(m)
+    if cfg.mapping.reelect_descriptors:
+        m = recompute_point_stats(m)
     m = run_local_ba(m=m, K=K, kf_id=kf_id,
                      window=cfg.caps.local_window_kf, n_fixed=8,
                      inv_sigma2_lvl=inv_sigma2_lvl)
-    m = map_ops.cull_keyframes(m, kf_id)
+    m = map_ops.cull_keyframes(
+        m, kf_id, scale_condition=cfg.mapping.kf_cull_scale_condition,
+        n_levels=cfg.orb.n_levels)
     return m

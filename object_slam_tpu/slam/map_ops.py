@@ -125,7 +125,8 @@ def insert_keyframe(K, m: MapState, frame: FrameData, Tcw,
     return m, kf_id
 
 
-def cull_points(m: MapState, current_kf_id, min_found_ratio: float = 0.25):
+def cull_points(m: MapState, current_kf_id, min_found_ratio: float = 0.25,
+                recency_scope: bool = True):
     """MapPointCulling (LocalMapping.cc:171-206): drop points with
     found/visible < 0.25, or points older than 2 KFs with < 3 observations."""
     ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
@@ -135,8 +136,10 @@ def cull_points(m: MapState, current_kf_id, min_found_ratio: float = 0.25):
     # candidates in mlpRecentAddedMapPoints for their first ~3 keyframes
     # and removes them from scrutiny afterwards (LocalMapping.cc:171-206).
     # Testing established points forever executes sporadically-matched but
-    # good landmarks and thins the map into tracking attrition.
-    recent = age < 3
+    # good landmarks and thins the map into tracking attrition
+    # (A/B-measured on the 200-frame loop circuit — PARITY.md; the
+    # always-scoped variant remains as recency_scope=False).
+    recent = (age < 3) if recency_scope else jnp.bool_(True)
     bad = recent & ((ratio < min_found_ratio) |
                     ((age >= 2) & (m.pt_n_obs < 3)))
     keep = m.pt_valid & ~bad
@@ -338,11 +341,16 @@ def triangulate_new_points(m: MapState, kf_id, n_neighbors: int,
 
 
 def cull_keyframes(m: MapState, kf_id, n_check: int = 10,
-                   redundancy: float = 0.9, min_obs: int = 3):
+                   redundancy: float = 0.9, min_obs: int = 3,
+                   scale_condition: bool = False, n_levels: int = 8):
     """KeyFrameCulling (LocalMapping.cc:633-697): a covisible keyframe is
     redundant if >= 90% of its tracked points are observed by at least 3
-    other keyframes (at the same-or-finer scale in the reference; the
-    scale condition is dropped — strictly more conservative counting).
+    other keyframes. With scale_condition=True the reference's rule is
+    reproduced exactly: an observer only counts if it sees the point at
+    the same or finer pyramid scale (scaleLevel <= scaleLevel_i + 1,
+    LocalMapping.cc:672-683); the default drops that condition —
+    scale-free counting is strictly more aggressive culling (A/B-measured
+    on the 200-frame loop circuit, PARITY.md).
 
     Culled KFs keep their slab row (kf_valid=False); their observations
     are released and spanning-tree children re-parent to the culled KF's
@@ -359,13 +367,30 @@ def cull_keyframes(m: MapState, kf_id, n_check: int = 10,
     # per-point observer counts
     A = incidence_bool(m)                           # [K, P]
     obs_count = jnp.sum(A, axis=0)                  # [P]
+    if scale_condition:
+        # cnt_le[p, L] = observers of p at pyramid level <= L, via a
+        # per-(point, level) histogram + cumsum — the dense analogue of
+        # the reference's per-observation scaleLevel comparison
+        obs_ok = (m.kf_kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+        ptc_all = jnp.clip(m.kf_kp_pt, 0, P - 1)
+        lvl_all = jnp.clip(m.kf_kp_level, 0, n_levels - 1)
+        idx = (ptc_all * n_levels + lvl_all).reshape(-1)
+        cnt = jax.ops.segment_sum(
+            obs_ok.reshape(-1).astype(jnp.int32), idx,
+            num_segments=P * n_levels).reshape(P, n_levels)
+        cnt_le = jnp.cumsum(cnt, axis=1)            # [P, n_levels]
 
     def redundant(k):
         kp_pt = m.kf_kp_pt[k]
         tracked = (kp_pt >= 0) & m.kf_kp_valid[k]
         ptc = jnp.clip(kp_pt, 0, P - 1)
         tracked = tracked & m.pt_valid[ptc]
-        others = obs_count[ptc] - 1                 # excluding this KF
+        if scale_condition:
+            thr = jnp.clip(m.kf_kp_level[k] + 1, 0, n_levels - 1)
+            # own observation is at level <= own+1, so subtract it
+            others = cnt_le[ptc, thr] - 1
+        else:
+            others = obs_count[ptc] - 1             # excluding this KF
         red = tracked & (others >= min_obs)
         n_tr = jnp.sum(tracked.astype(jnp.int32))
         n_red = jnp.sum(red.astype(jnp.int32))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -107,7 +108,8 @@ class SlamSystem:
                  enable_objects: bool = True,
                  enable_mapping: bool = True,
                  enable_loop: bool = False,
-                 async_mapping: bool = False):
+                 async_mapping: bool = False,
+                 metrics=None):
         self.cfg = cfg or SlamConfig()
         self.builder = FrameBuilder(self.cfg)
         self.K = self.builder.K
@@ -129,6 +131,9 @@ class SlamSystem:
 
         from object_slam_tpu.utils.profiling import StageProfiler
         self.profiler = StageProfiler(enabled=False)
+        # structured per-frame metrics JSONL (utils/metrics.MetricsStream
+        # or None) — the FrameDrawer-status-bar/cout analogue, SURVEY §5
+        self.metrics = metrics
 
         self.state = NOT_INITIALIZED
         self.last_frame: Optional[FrameData] = None
@@ -231,7 +236,7 @@ class SlamSystem:
         frame = self.builder.build_rgbd(gray, depth, rgb, sem_arrays,
                                         timestamp)
         self._host_ts = float(timestamp)
-        return self._track(frame)
+        return self._track_and_emit(frame)
 
     def track_stereo(self, gray_l, gray_r, rgb, sem_arrays=None,
                      timestamp=0.0):
@@ -240,7 +245,7 @@ class SlamSystem:
         frame = self.builder.build_stereo(gray_l, gray_r, rgb, sem_arrays,
                                           timestamp)
         self._host_ts = float(timestamp)
-        return self._track(frame)
+        return self._track_and_emit(frame)
 
     def track_mono(self, gray, timestamp=0.0):
         """Monocular entry point (Tracking::GrabImageMonocular analogue).
@@ -249,7 +254,29 @@ class SlamSystem:
         frame = self.builder.build_mono(gray, timestamp)
         if self.state == NOT_INITIALIZED:
             return self._mono_initialize(frame)
-        return self._track(frame)
+        return self._track_and_emit(frame)
+
+    def _track_and_emit(self, frame: FrameData):
+        """Run _track and append one structured metrics record — all
+        fields are host state the loop already holds, so the stream adds
+        zero device round trips (utils/metrics.py)."""
+        if self.metrics is None:
+            return self._track(frame)
+        prev_kf = self.last_kf_id
+        fid = self.frame_id
+        t0 = time.perf_counter()
+        out = self._track(frame)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        state = {NOT_INITIALIZED: "NOT_INITIALIZED", OK: "OK",
+                 LOST: "LOST"}[self.state]
+        self.metrics.emit(
+            frame=fid, ts=self._host_ts, state=state,
+            track_ms=round(dt_ms, 3),
+            n_inliers=int(getattr(self, "_last_n_inliers", -1)),
+            kf_inserted=self.last_kf_id != prev_kf,
+            ref_kf=self.last_kf_id,
+            frames_since_kf=self.frames_since_kf)
+        return out
 
     def _mono_initialize(self, frame: FrameData):
         from object_slam_tpu.features import matching as match_mod
@@ -395,6 +422,7 @@ class SlamSystem:
             tr2, ref_kf = tr, self.last_kf_id
             n_inl = int(tr.n_inliers)
             ok = n_inl >= 20
+            self._last_n_inliers = n_inl
             self.state = OK if ok else LOST
             self.debug_last = {"tr_motion": tr, "tr_local": tr2,
                                "T_pred": T_pred, "frame": frame}
@@ -435,6 +463,7 @@ class SlamSystem:
                         tr_kf, tr2_kf, map_kf, int(ref2)
                     n_inl = int(tr2.n_inliers)
                     ok = n_inl >= 30 or (n_inl >= 10 and self.frame_id < 5)
+        self._last_n_inliers = n_inl
         self.state = OK if ok else LOST
         # per-frame stage snapshots for diagnostics (scripts/diag_retention)
         self.debug_last = {"tr_motion": tr, "tr_local": tr2,
@@ -546,6 +575,7 @@ class SlamSystem:
         ok = p[48] > 0.5
         need_kf = p[49] > 0.5
         n_inl = int(p[50])
+        self._last_n_inliers = n_inl
 
         if not ok and n_inl < 10:
             tr_rel = self._relocalize(frame)

@@ -20,6 +20,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 import numpy as np
 
 
@@ -31,6 +34,9 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--loop", action="store_true")
     ap.add_argument("--no-objects", action="store_true")
+    ap.add_argument("--metrics", default=None,
+                    help="write per-frame JSONL metrics to this path "
+                         "(utils/metrics.MetricsStream)")
     ap.add_argument("--platform", default=None, choices=["cpu", "axon"],
                     help="force the JAX backend (config.update beats the "
                          "sitecustomized jax_platforms; the env var alone "
@@ -55,8 +61,12 @@ def main():
         frames = frames[:args.max_frames]
     print(f"{len(frames)} frames; native loader: {native_available()}")
 
+    metrics = None
+    if args.metrics:
+        from object_slam_tpu.utils.metrics import MetricsStream
+        metrics = MetricsStream(args.metrics)
     sys_ = SlamSystem(cfg, enable_objects=not args.no_objects,
-                      enable_loop=args.loop)
+                      enable_loop=args.loop, metrics=metrics)
 
     # prefetch pipeline (native decode off the tracking thread)
     pf = FramePrefetcher(n_workers=4, capacity=8,
@@ -94,6 +104,8 @@ def main():
                   f"pts={sys_.n_points}")
     total = time.perf_counter() - t0
     pf.close()
+    if metrics is not None:
+        metrics.close()
 
     os.makedirs(args.out, exist_ok=True)
     traj = sys_.final_trajectory()

@@ -104,3 +104,54 @@ class TestProfiler:
         with prof.span("x"):
             pass
         assert prof.stats() == {}
+
+
+class TestMetricsStream:
+    def test_jsonl_records(self, tmp_path):
+        import json
+        from object_slam_tpu.utils.metrics import MetricsStream
+        p = tmp_path / "m.jsonl"
+        with MetricsStream(str(p)) as ms:
+            ms.emit(frame=0, state="OK", n_inliers=120)
+            ms.emit(frame=1, state="LOST", n_inliers=4)
+        lines = p.read_text().strip().splitlines()
+        assert len(lines) == 2
+        recs = [json.loads(l) for l in lines]
+        assert recs[0]["n_inliers"] == 120
+        assert recs[1]["state"] == "LOST"
+        assert ms.last["frame"] == 1
+
+    def test_appends_across_streams(self, tmp_path):
+        from object_slam_tpu.utils.metrics import MetricsStream
+        p = tmp_path / "m.jsonl"
+        for i in range(2):
+            with MetricsStream(str(p)) as ms:
+                ms.emit(run=i)
+        assert len(p.read_text().strip().splitlines()) == 2
+
+    def test_system_emits_per_frame(self):
+        """End-to-end: SlamSystem(metrics=...) writes one record per
+        track_* call with host-held fields only (no device syncs)."""
+        import io
+        import json
+        import jax.numpy as jnp
+        import numpy as np
+        from object_slam_tpu.utils.metrics import MetricsStream
+        from object_slam_tpu.slam.system import SlamSystem
+        from tests.test_slam import small_cfg
+        from object_slam_tpu.datasets.synthetic import (SyntheticScene,
+                                                        orbit_poses)
+        cfg = small_cfg()
+        scene = SyntheticScene.make(cfg, seed=1)
+        buf = io.StringIO()
+        sys_ = SlamSystem(cfg, enable_objects=False,
+                          metrics=MetricsStream(buf))
+        for i, T in enumerate(orbit_poses(4, step=0.02)):
+            gray, depth, rgb, _ = scene.render_rgbd(T)
+            sys_.track_rgbd(jnp.asarray(gray), jnp.asarray(depth),
+                            jnp.asarray(rgb), None, timestamp=i / 30.0)
+        recs = [json.loads(l) for l in buf.getvalue().splitlines()]
+        assert len(recs) == 4
+        assert recs[0]["kf_inserted"]          # stereo-init KF0
+        assert all(r["state"] == "OK" for r in recs)
+        assert all(r["track_ms"] > 0 for r in recs)

@@ -173,6 +173,41 @@ class TestMapOps:
         assert W[1, 2] == 10 and W[0, 2] == 10
         assert W[0, 0] == 0
 
+    def test_kf_cull_scale_condition_is_conservative(self):
+        """The reference's same-or-finer-scale observer rule
+        (LocalMapping.cc:672-683, cfg.mapping.kf_cull_scale_condition)
+        can only reduce redundancy counts, so it culls a subset of what
+        scale-free counting culls."""
+        from object_slam_tpu.slam import map_ops
+        cfg = small_cfg()
+        m = init_map(cfg.caps)
+        rng = np.random.RandomState(0)
+        Kc, N = m.kf_kp_pt.shape
+        kp = np.full((Kc, N), -1, np.int32)
+        for k in range(4):
+            kp[k, :200] = np.arange(200)        # all 4 KFs see the same pts
+        m = m._replace(
+            kf_valid=m.kf_valid.at[:4].set(True),
+            kf_kp_pt=jnp.asarray(kp),
+            kf_kp_valid=m.kf_kp_valid.at[:4].set(True),
+            kf_kp_level=m.kf_kp_level.at[:4, :200].set(
+                jnp.asarray(rng.randint(0, 4, (4, 200)))),
+            pt_valid=m.pt_valid.at[:200].set(True),
+            n_kf=jnp.int32(4))
+        m_free = map_ops.cull_keyframes(m, jnp.int32(3),
+                                        scale_condition=False)
+        m_cond = map_ops.cull_keyframes(m, jnp.int32(3),
+                                        scale_condition=True, n_levels=4)
+        n_free = int(jnp.sum(m_free.kf_valid))
+        n_cond = int(jnp.sum(m_cond.kf_valid))
+        assert n_free < 4            # fully redundant -> scale-free culls
+        assert n_cond >= n_free      # scale rule is strictly conservative
+        # with every observation at the SAME level the two rules agree
+        m_same = m._replace(kf_kp_level=m.kf_kp_level.at[:4, :200].set(0))
+        m_cond2 = map_ops.cull_keyframes(m_same, jnp.int32(3),
+                                         scale_condition=True, n_levels=4)
+        assert int(jnp.sum(m_cond2.kf_valid)) == n_free
+
 
 @pytest.mark.slow
 class TestAsyncMapping:
