@@ -48,8 +48,34 @@ class FrameData(NamedTuple):
         return self.uv.shape[0]
 
 
+_LUMA = (0.299, 0.587, 0.114)     # ITU-R BT.601, the cvtColor weights
+                                  # (Tracking.cc:247-263 grayscale path)
+
+
+def _to_f32_image(img):
+    """Accept u8 images and cast ON DEVICE — the host ships 1 byte/px
+    instead of 4, cutting PCIe (and remote-tunnel) transfer 4x. dtype is
+    static under jit so the branch costs nothing."""
+    if img is None:
+        return None
+    return img.astype(jnp.float32) if img.dtype != jnp.float32 else img
+
+
+def _to_metric_depth(depth_img, depth_map_factor):
+    """Accept raw u16 depth (TUM PNG encoding) and scale to meters on
+    device (DepthMapFactor division, Tracking.cc:255-263)."""
+    if depth_img.dtype == jnp.uint16:
+        return depth_img.astype(jnp.float32) / jnp.float32(depth_map_factor)
+    return _to_f32_image(depth_img)
+
+
 class FrameBuilder:
-    """Owns the compiled extraction+assembly pipelines for one geometry."""
+    """Owns the compiled extraction+assembly pipelines for one geometry.
+
+    All jitted builders accept compact transfer dtypes: u8 gray/rgb,
+    u16 raw depth, and gray=None (luma derived from rgb on device) — the
+    conversion happens device-side so a VGA RGB-D frame ships ~1.5 MB
+    instead of ~6 MB."""
 
     def __init__(self, cfg):
         self.cfg = cfg
@@ -73,12 +99,19 @@ class FrameBuilder:
         """
         import numpy as np
         if sem_arrays is None or not np.any(np.asarray(sem_arrays[4])):
-            return self._rgbd_noobj(gray, depth_img, jnp.float32(timestamp))
+            return self._rgbd_noobj(gray, depth_img, jnp.float32(timestamp),
+                                    rgb if gray is None else None)
         return self._rgbd(gray, depth_img, rgb, *sem_arrays,
                           jnp.float32(timestamp))
 
-    def _build_rgbd_noobj(self, gray, depth_img, timestamp) -> FrameData:
+    def _build_rgbd_noobj(self, gray, depth_img, timestamp,
+                          rgb=None) -> FrameData:
         cfg = self.cfg
+        if gray is None:
+            gray = _to_f32_image(rgb) @ jnp.asarray(_LUMA, jnp.float32)
+        else:
+            gray = _to_f32_image(gray)
+        depth_img = _to_metric_depth(depth_img, cfg.camera.depth_map_factor)
         kp = self.extractor(gray)
         uv_und = cam_mod.undistort_points(self.K, kp.uv)
         h, w = gray.shape
@@ -95,6 +128,12 @@ class FrameBuilder:
     def _build_rgbd(self, gray, depth_img, rgb, masks, labels, probs,
                     bboxes, inst_valid, timestamp) -> FrameData:
         cfg = self.cfg
+        rgb = _to_f32_image(rgb)
+        if gray is None:
+            gray = rgb @ jnp.asarray(_LUMA, jnp.float32)
+        else:
+            gray = _to_f32_image(gray)
+        depth_img = _to_metric_depth(depth_img, cfg.camera.depth_map_factor)
         kp = self.extractor(gray)
         uv_und = cam_mod.undistort_points(self.K, kp.uv)
         h, w = gray.shape
@@ -120,6 +159,9 @@ class FrameBuilder:
     def _build_stereo(self, gray_l, gray_r, rgb, masks, labels, probs,
                       bboxes, inst_valid, timestamp) -> FrameData:
         cfg = self.cfg
+        gray_l = _to_f32_image(gray_l)
+        gray_r = _to_f32_image(gray_r)
+        rgb = _to_f32_image(rgb)
         kp_l = self.extractor(gray_l)
         kp_r = self.extractor(gray_r)
         uv_und = cam_mod.undistort_points(self.K, kp_l.uv)
@@ -148,6 +190,7 @@ class FrameBuilder:
         return self._mono(gray, jnp.float32(timestamp))
 
     def _build_mono(self, gray, timestamp) -> FrameData:
+        gray = _to_f32_image(gray)
         kp = self.extractor(gray)
         uv_und = cam_mod.undistort_points(self.K, kp.uv)
         n = kp.uv.shape[0]
