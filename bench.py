@@ -93,31 +93,53 @@ def bench_full(n_frames: int = 40):
                                                     orbit_poses)
     from object_slam_tpu.slam.system import SlamSystem
 
+    import jax
+
     cfg = SlamConfig.tum_rgbd()
     scene = SyntheticScene.make(cfg, seed=3, n_objects=3)
     for b in scene.boxes:
         b['size'] = 0.9
     poses = orbit_poses(n_frames, step=0.01)
 
-    # pre-render on host so the loop times SLAM, not the ray-caster
+    # pre-render on host so the loop times SLAM, not the ray-caster;
+    # compact transfer dtypes (u8 rgb, u16 depth, device-side luma) —
+    # the production ingestion path (slam/frame.py)
     frames = []
     for T in poses:
         gray, depth, rgb, sem = scene.render_rgbd(T)
-        frames.append((gray, depth, rgb,
+        d16 = np.clip(np.asarray(depth) * cfg.camera.depth_map_factor,
+                      0, 65535).astype(np.uint16)
+        rgb8 = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8)
+        frames.append((d16, rgb8,
                        scene.sem_arrays(sem, cfg.semantic.max_instances)))
 
-    sys_ = SlamSystem(cfg, enable_objects=True)
-    times = []
-    for i, (gray, depth, rgb, sem) in enumerate(frames):
-        t0 = time.perf_counter()
-        f = sys_.track_rgbd(jnp.asarray(gray), jnp.asarray(depth),
-                            jnp.asarray(rgb), sem, timestamp=i / 30.0)
-        jnp.asarray(f.Tcw).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    # steady state: skip the first 8 frames (compile + map warm-up);
-    # median over the rest includes keyframe-rate mapping amortized
-    steady = np.asarray(times[8:])
-    return 1.0 / np.median(steady), 1.0 / np.mean(steady)
+    def run(device_resident: bool):
+        sys_ = SlamSystem(cfg, enable_objects=True)
+        staged = frames
+        if device_resident:
+            dev = jax.devices()[0]
+            staged = [(jax.device_put(d, dev), jax.device_put(r, dev), s)
+                      for d, r, s in frames]
+            jax.block_until_ready([x[0] for x in staged])
+        times = []
+        for i, (d16, rgb8, sem) in enumerate(staged):
+            t0 = time.perf_counter()
+            f = sys_.track_rgbd(None, jnp.asarray(d16), jnp.asarray(rgb8),
+                                sem, timestamp=i / 30.0)
+            jnp.asarray(f.Tcw).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        # steady state: skip the first 8 frames (compile + map warm-up);
+        # median over the rest includes keyframe-rate mapping amortized
+        steady = np.asarray(times[8:])
+        return 1.0 / np.median(steady), 1.0 / np.mean(steady)
+
+    # headline: host-in-the-loop (includes host->device transfer each
+    # frame). Secondary: device-resident inputs — isolates the SLAM
+    # pipeline from the transfer medium (PCIe in production; a network
+    # tunnel in this dev environment, which otherwise dominates).
+    med, mean = run(device_resident=False)
+    med_dev, _ = run(device_resident=True)
+    return med, mean, med_dev
 
 
 def main():

@@ -45,6 +45,11 @@ def load_map(path: str):
     for f in MapState._fields:
         if f in data:
             kwargs[f] = jnp.asarray(data[f])
+        elif f == "kf_tcp":
+            # field added after round-1 checkpoints; identity = "never
+            # culled", which is exactly the pre-field behavior
+            K = np.asarray(data["kf_pose"]).shape[0]
+            kwargs[f] = jnp.broadcast_to(jnp.eye(4), (K, 4, 4))
         else:
             raise KeyError(f"checkpoint missing field {f}")
     return MapState(**kwargs), meta

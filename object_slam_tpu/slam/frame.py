@@ -61,6 +61,15 @@ def _to_f32_image(img):
     return img.astype(jnp.float32) if img.dtype != jnp.float32 else img
 
 
+def _luma(rgb_f32):
+    """BT.601 grayscale as ELEMENTWISE ops (VPU), deliberately not a
+    matmul: TPU matmuls default to bf16 inputs, and bf16-quantized
+    intensities measurably degrade FAST scores and BRIEF bits (ATE
+    doubled on the 200-frame circuit when this was `rgb @ weights`)."""
+    return (_LUMA[0] * rgb_f32[..., 0] + _LUMA[1] * rgb_f32[..., 1]
+            + _LUMA[2] * rgb_f32[..., 2])
+
+
 def _to_metric_depth(depth_img, depth_map_factor):
     """Accept raw u16 depth (TUM PNG encoding) and scale to meters on
     device (DepthMapFactor division, Tracking.cc:255-263)."""
@@ -108,7 +117,7 @@ class FrameBuilder:
                           rgb=None) -> FrameData:
         cfg = self.cfg
         if gray is None:
-            gray = _to_f32_image(rgb) @ jnp.asarray(_LUMA, jnp.float32)
+            gray = _luma(_to_f32_image(rgb))
         else:
             gray = _to_f32_image(gray)
         depth_img = _to_metric_depth(depth_img, cfg.camera.depth_map_factor)
@@ -130,7 +139,7 @@ class FrameBuilder:
         cfg = self.cfg
         rgb = _to_f32_image(rgb)
         if gray is None:
-            gray = rgb @ jnp.asarray(_LUMA, jnp.float32)
+            gray = _luma(rgb)
         else:
             gray = _to_f32_image(gray)
         depth_img = _to_metric_depth(depth_img, cfg.camera.depth_map_factor)

@@ -412,8 +412,15 @@ def cull_keyframes(m: MapState, kf_id, n_check: int = 10,
     parent_of_victim = m.kf_parent[vc]
     kf_parent = jnp.where(do & (m.kf_parent == victim),
                           parent_of_victim, m.kf_parent)
+    # freeze the victim's pose relative to its parent (KeyFrame::mTcp,
+    # SetBadFlag) so trajectory recomposition can hop over the culled KF
+    # even after BA / loop corrections move the parent
+    pv = jnp.clip(parent_of_victim, 0, Kcap - 1)
+    tcp = m.kf_pose[vc] @ se3.inverse(m.kf_pose[pv])
+    kf_tcp = m.kf_tcp.at[vc].set(
+        jnp.where(do & (parent_of_victim >= 0), tcp, m.kf_tcp[vc]))
     return m._replace(kf_valid=kf_valid, kf_kp_pt=kf_kp_pt,
-                      kf_parent=kf_parent)
+                      kf_parent=kf_parent, kf_tcp=kf_tcp)
 
 
 def incidence_bool(m: MapState):

@@ -74,6 +74,12 @@ class MapState(NamedTuple):
     kf_kp_valid: jnp.ndarray     # [K, N] bool
     kf_kp_pt: jnp.ndarray        # [K, N] int32 -> point id (-1)
     kf_parent: jnp.ndarray       # [K] int32 spanning-tree parent (-1 root)
+    kf_tcp: jnp.ndarray          # [K, 4, 4] T_child_parent frozen at cull
+                                 # time (identity while valid) — the
+                                 # reference's KeyFrame::mTcp, used by
+                                 # trajectory recomposition to repair
+                                 # records whose reference KF was culled
+                                 # (System.cc:400-410 while-isBad walk)
     kf_loop_edge: jnp.ndarray    # [K] int32 loop edge partner (-1)
     kf_bow: jnp.ndarray          # [K, W] float32 BoW tf-idf (W = vocab words; 0 cols until vocab built)
 
@@ -119,6 +125,7 @@ def init_map(caps, history_capacity: int = 64, n_bow_words: int = 0) -> MapState
         kf_kp_valid=jnp.zeros((K, N), bool),
         kf_kp_pt=jnp.full((K, N), -1, i32),
         kf_parent=jnp.full((K,), -1, i32),
+        kf_tcp=jnp.broadcast_to(jnp.eye(4), (K, 4, 4)),
         kf_loop_edge=jnp.full((K,), -1, i32),
         kf_bow=jnp.zeros((K, max(n_bow_words, 1))),
         obj_valid=jnp.zeros((J,), bool),

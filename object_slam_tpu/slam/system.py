@@ -716,11 +716,25 @@ class SlamSystem:
 
     def final_trajectory(self):
         """Recompose each frame pose from its reference KF's (possibly
-        BA/loop-corrected) pose, as SaveTrajectoryTUM (System.cc:378-436)."""
+        BA/loop-corrected) pose, as SaveTrajectoryTUM (System.cc:378-436).
+        Records whose reference KF was culled hop the spanning tree via
+        the frozen T_child_parent (the reference's while-isBad walk,
+        System.cc:400-410) so they still inherit corrections."""
         kf_pose = np.asarray(self.map.kf_pose)
+        kf_valid = np.asarray(self.map.kf_valid)
+        kf_parent = np.asarray(self.map.kf_parent)
+        kf_tcp = np.asarray(self.map.kf_tcp)
+        Kcap = kf_pose.shape[0]
         out = []
         for rec in self.trajectory:
-            Tcw = rec.Tcr @ kf_pose[rec.ref_kf]
+            ref, Tcr = rec.ref_kf, rec.Tcr
+            hops = 0
+            while (0 <= ref < Kcap and not kf_valid[ref]
+                   and kf_parent[ref] >= 0 and hops < Kcap):
+                Tcr = Tcr @ kf_tcp[ref]
+                ref = int(kf_parent[ref])
+                hops += 1
+            Tcw = Tcr @ kf_pose[ref]
             out.append((rec.timestamp, Tcw, rec.tracked))
         return out
 

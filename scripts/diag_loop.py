@@ -58,37 +58,56 @@ def main():
     orig_correct = lc._correct_loop
     events = []
 
+    def kf_pose_errors(m, tag):
+        """Per-KF translation error vs GT (mm), for valid KFs."""
+        errs = {}
+        kv = np.asarray(m.kf_valid)
+        kp = np.asarray(m.kf_pose)
+        for k, fi in kf_frame.items():
+            if k < len(kv) and kv[k]:
+                errs[k] = float(np.linalg.norm(
+                    np.linalg.inv(kp[k])[:3, 3]
+                    - np.linalg.inv(poses[fi])[:3, 3]) * 1e3)
+        mean = np.mean(list(errs.values())) if errs else float("nan")
+        print(f"KF-ERR[{tag}] mean {mean:.1f} mm :",
+              {k: round(v, 1) for k, v in sorted(errs.items())}, flush=True)
+        return errs
+
     def instrumented(m, q, l, T12, s12):
+        q_fi = kf_frame.get(int(q), current_frame[0])
+        kf_frame[int(q)] = q_fi
         Tq = np.asarray(m.kf_pose[q])
         Tl = np.asarray(m.kf_pose[l])
-        gt_q = poses[kf_frame[q]] if q in kf_frame else None
-        gt_l = poses[kf_frame[l]] if l in kf_frame else None
+        gt_q, gt_l = poses[q_fi], poses[kf_frame[int(l)]]
         ev = {"q": int(q), "l": int(l), "s12": float(s12)}
-        if gt_q is not None and gt_l is not None:
-            T12_gt = gt_q @ np.linalg.inv(gt_l)
-            T12_np = np.asarray(T12)
-            dT = T12_np @ np.linalg.inv(T12_gt)
-            ev["sim3_trans_err_mm"] = float(
-                np.linalg.norm(dT[:3, 3]) * 1e3)
-            ev["sim3_rot_err_deg"] = float(np.degrees(np.arccos(
-                np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1))))
-            # drift the closure is supposed to fix: current estimated
-            # relative pose vs ground truth
-            T12_est = Tq @ np.linalg.inv(Tl)
-            dD = T12_est @ np.linalg.inv(T12_gt)
-            ev["drift_trans_mm"] = float(np.linalg.norm(dD[:3, 3]) * 1e3)
-            ev["drift_rot_deg"] = float(np.degrees(np.arccos(
-                np.clip((np.trace(dD[:3, :3]) - 1) / 2, -1, 1))))
+        T12_gt = gt_q @ np.linalg.inv(gt_l)
+        T12_np = np.asarray(T12)
+        dT = T12_np @ np.linalg.inv(T12_gt)
+        ev["sim3_trans_err_mm"] = float(np.linalg.norm(dT[:3, 3]) * 1e3)
+        ev["sim3_rot_err_deg"] = float(np.degrees(np.arccos(
+            np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1))))
+        # drift the closure is supposed to fix: current estimated
+        # relative pose vs ground truth
+        T12_est = Tq @ np.linalg.inv(Tl)
+        dD = T12_est @ np.linalg.inv(T12_gt)
+        ev["drift_trans_mm"] = float(np.linalg.norm(dD[:3, 3]) * 1e3)
+        ev["drift_rot_deg"] = float(np.degrees(np.arccos(
+            np.clip((np.trace(dD[:3, :3]) - 1) / 2, -1, 1))))
         events.append(ev)
         print("CLOSURE", json.dumps(ev), flush=True)
-        return orig_correct(m, q, l, T12, s12)
+        kf_pose_errors(m, "before")
+        m2 = orig_correct(m, q, l, T12, s12)
+        kf_pose_errors(m2, "after")
+        return m2
 
     lc._correct_loop = instrumented
 
     kf_frame = {}
+    current_frame = [0]
     est, gt, oks = [], [], []
     last_nkf = 0
     for i, T in enumerate(poses):
+        current_frame[0] = i
         gray, depth, rgb, sem = scene.render_rgbd(T)
         f = sys_.track_rgbd(jnp.asarray(gray), jnp.asarray(depth),
                             jnp.asarray(rgb), None,
