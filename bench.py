@@ -144,13 +144,14 @@ def bench_full(n_frames: int = 40):
 
 def main():
     fps_core = bench_core()
-    fps_full_med, fps_full_mean = bench_full()
+    fps_full_med, fps_full_mean, fps_full_dev = bench_full()
     print(json.dumps({
         "metric": "full_pipeline_fps_synthetic_vga",
         "value": round(fps_full_med, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps_full_med / 30.0, 3),
         "full_pipeline_fps_mean": round(fps_full_mean, 2),
+        "full_pipeline_fps_device_resident": round(fps_full_dev, 2),
         "tracking_core_fps": round(fps_core, 2),
         "tracking_core_vs_baseline": round(fps_core / 30.0, 3),
     }))

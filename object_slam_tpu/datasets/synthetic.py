@@ -41,8 +41,13 @@ def _smooth_texture(rng, size):
 
 
 def _tex_sample(tex, u, v):
-    """Bilinear periodic texture lookup with float coords."""
+    """Bilinear periodic texture lookup with float coords. Non-finite
+    coords (rays that escape every surface, t_hit = inf) sample texel 0 —
+    the np.where callers mask those pixels out, but both branches are
+    evaluated eagerly, so the lookup itself must not fault."""
     th, tw = tex.shape
+    u = np.where(np.isfinite(u), u, 0.0)
+    v = np.where(np.isfinite(v), v, 0.0)
     u = np.mod(u, tw - 1)
     v = np.mod(v, th - 1)
     u0 = np.floor(u).astype(int)
@@ -103,7 +108,7 @@ class SyntheticScene:
 
     @staticmethod
     def make(cfg, seed=0, n_objects=2, plane_z=4.0, n_structures=10,
-             room=True, scale=1.0):
+             room=True, scale=1.0, corridor_len=None, path=None):
         """A closed textured room (floor/ceiling/4 walls) with unlabeled
         furniture boxes at varied depths plus labeled object boxes.
 
@@ -182,6 +187,51 @@ class SyntheticScene:
             for b in boxes + structures:
                 b['center'] = b['center'] * scale
                 b['size'] *= scale
+        if corridor_len is not None:
+            # Street-canyon mode (KITTI drives): stretch the room along +z
+            # so a forward trajectory of `corridor_len` world units stays
+            # inside the closed surface set (a ray escaping every surface
+            # renders depth 0 and starves tracking), and respawn all box
+            # content along the drive with clearance from the camera
+            # `path` (array of world camera centers) instead of around the
+            # in-room ring. All quantities here are POST-scale units.
+            bounds_hi = bounds_hi.copy()
+            bounds_hi[2] = float(corridor_len)
+            for s in surfaces:
+                if s['axis'] == 2 and s['offset'] > 0:
+                    s['offset'] = float(corridor_len)
+            plane_z = float(corridor_len)
+            floor_y = 1.0 * scale
+
+            def _clear_of_path(c, size):
+                if path is None:
+                    return True
+                d = np.min(np.linalg.norm(
+                    np.asarray(path, np.float64) - c[None, :], axis=1))
+                return d > size * 0.87 + 2.0
+
+            structures = []
+            while len(structures) < n_structures:
+                size = rng.uniform(0.25, 0.8) * scale
+                c = np.array([rng.uniform(-2.0, 2.0) * scale,
+                              floor_y - size / 2,
+                              rng.uniform(2.0, corridor_len - 2.0)])
+                if _clear_of_path(c, size):
+                    structures.append(dict(center=c, size=size,
+                                           tex=_smooth_texture(rng, 64)))
+            old_labels = [b['label'] for b in boxes]
+            boxes = []
+            while len(boxes) < n_objects:
+                size = rng.uniform(0.4, 0.7) * scale
+                c = np.array([rng.choice([-1, 1]) * rng.uniform(0.8, 1.8)
+                              * scale,
+                              floor_y - size / 2,
+                              rng.uniform(4.0, corridor_len * 0.8)])
+                if _clear_of_path(c, size):
+                    boxes.append(dict(center=c, size=size,
+                                      label=old_labels[len(boxes)
+                                                       % len(old_labels)],
+                                      tex=_smooth_texture(rng, 64)))
         rays = _undistort_grid(cam.height, cam.width, cam.fx, cam.fy,
                                cam.cx, cam.cy, cam.dist)
         return SyntheticScene(h=cam.height, w=cam.width,

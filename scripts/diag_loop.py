@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--scale", type=int, default=2)
     ap.add_argument("--turns", type=float, default=1.15)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--no-loop", action="store_true",
+                    help="identical run with the loop module off — the "
+                         "A/B control for the closure's ATE effect")
     args = ap.parse_args()
 
     import jax
@@ -51,11 +54,12 @@ def main():
         b["size"] = 0.9
     poses = loop_trajectory(args.frames, sweep=2 * np.pi * args.turns)
 
-    sys_ = SlamSystem(cfg, enable_objects=False, enable_loop=True)
+    sys_ = SlamSystem(cfg, enable_objects=False,
+                      enable_loop=not args.no_loop)
     lc = sys_.loop_closer
 
     # monkey-patch instrumentation around _correct_loop
-    orig_correct = lc._correct_loop
+    orig_correct = lc._correct_loop if lc is not None else None
     events = []
 
     def kf_pose_errors(m, tag):
@@ -100,7 +104,8 @@ def main():
         kf_pose_errors(m2, "after")
         return m2
 
-    lc._correct_loop = instrumented
+    if lc is not None:
+        lc._correct_loop = instrumented
 
     kf_frame = {}
     current_frame = [0]
@@ -123,7 +128,7 @@ def main():
     print(json.dumps({
         "tracked": int(ok.sum()), "frames": args.frames,
         "online_ate_mm": float(np.sqrt((err ** 2).mean()) * 1e3),
-        "loops_closed": lc.n_loops_closed,
+        "loops_closed": lc.n_loops_closed if lc is not None else 0,
     }))
 
     # final (retro-corrected) trajectory, as the driver saves it

@@ -38,11 +38,15 @@ def main():
                                                     drive_trajectory)
 
     cfg = SlamConfig.kitti_stereo()
-    scene = SyntheticScene.make(cfg, seed=args.seed, n_objects=3,
-                                plane_z=4.0, scale=8.0)
+    poses = drive_trajectory(args.frames, speed=args.speed)
+    centers = np.stack([np.linalg.inv(T)[:3, 3] for T in poses])
+    scene = SyntheticScene.make(
+        cfg, seed=args.seed, n_objects=6, plane_z=4.0, scale=8.0,
+        n_structures=24,
+        corridor_len=float(args.frames * args.speed + 20.0),
+        path=centers)
     for b in scene.boxes:
         b['label'] = 2            # KITTI car class (Semantic.cc:11)
-    poses = drive_trajectory(args.frames, speed=args.speed)
 
     seq = args.out
     os.makedirs(os.path.join(seq, "image_0"), exist_ok=True)
@@ -50,8 +54,14 @@ def main():
     sem_root = os.path.join(seq, "semantic")
     times, gt_lines = [], []
 
-    for i, T in enumerate(poses):
-        gl, gr, depth, rgb, sem = scene.render_stereo(T)
+    # fork-based pool: the ray-caster is single-threaded numpy at ~4 s per
+    # KITTI-resolution stereo frame; frames are independent
+    import multiprocessing as mp
+    pool = mp.get_context("fork").Pool(max(mp.cpu_count(), 2))
+    renders = pool.imap(scene.render_stereo, poses, chunksize=4)
+
+    for i, (T, render) in enumerate(zip(poses, renders)):
+        gl, gr, depth, rgb, sem = render
         Image.fromarray(np.clip(gl, 0, 255).astype(np.uint8)).save(
             os.path.join(seq, "image_0", f"{i:06d}.png"))
         Image.fromarray(np.clip(gr, 0, 255).astype(np.uint8)).save(

@@ -87,9 +87,19 @@ def main():
     traj = sys_.final_trajectory()
     trajectory_io.save_trajectory_kitti(
         os.path.join(args.out, "CameraTrajectory.txt"), traj)
+    if sys_.objects is not None:
+        # SaveObjctInfo parity for the stereo mode (System.cc:331-374)
+        trajectory_io.save_object_info(
+            os.path.join(args.out, "ObjectInfo.txt"),
+            sys_.map.obj_label, sys_.map.obj_valid,
+            sys_.objects.semantic_constraints)
 
     result = {"frames": len(frames), "fps": len(frames) / total,
               "keyframes": sys_.n_keyframes, "points": sys_.n_points}
+    if sys_.objects is not None:
+        result["objects"] = int(np.asarray(sys_.map.obj_valid).sum())
+        result["semantic_constraints"] = int(
+            sys_.objects.semantic_constraints)
     if args.gt and os.path.isfile(args.gt):
         gt = kitti.load_groundtruth(args.gt)
         est = np.array([np.linalg.inv(T)[:3, 3] for _, T, _ in traj])
