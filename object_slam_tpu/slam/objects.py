@@ -409,10 +409,13 @@ class ObjectEngine:
                  for l in range(self.cfg.orb.n_levels)], jnp.float32),
             log_scale=float(jnp.log(jnp.float32(self.cfg.orb.scale_factor))))
         Tcw, kp_pt, inl, n_sem = self._jit_semopt(m, frame, res)
-        self.semantic_constraints += int(n_sem)
+        # n_sem comes back as a DEVICE scalar so the caller can fetch it
+        # packed with the inlier count in one round trip; the caller owns
+        # adding it to self.semantic_constraints
         return TrackResult(Tcw=Tcw, kp_pt=kp_pt, inlier=inl,
                            n_matches=res.n_matches,
-                           n_inliers=jnp.sum((kp_pt >= 0).astype(jnp.int32))), m
+                           n_inliers=jnp.sum(
+                               (kp_pt >= 0).astype(jnp.int32))), m, n_sem
 
     def _semopt_impl(self, m: MapState, frame: FrameData, res: TrackResult):
         cfg = self.cfg.solver

@@ -153,6 +153,7 @@ class SlamSystem:
         self._jit_mapping = jax.jit(self._mapping_impl)
         self._jit_reloc_try = jax.jit(self._reloc_try_impl)
         self._jit_fused = jax.jit(self._fused_impl)
+        self._jit_kf_policy = jax.jit(self._kf_policy_impl)
         self._async = None
         if async_mapping:
             devs = jax.devices()
@@ -163,6 +164,27 @@ class SlamSystem:
     # ------------------------------------------------------------------
     # jitted stage wrappers
     # ------------------------------------------------------------------
+    def _kf_policy_impl(self, m, depth, kp_pt, valid, last_kf, min_obs):
+        """All keyframe-policy scalars (Tracking.cc:1242-1326 inputs) in
+        ONE device program -> int32[3], so the host pays a single round
+        trip instead of three (the remote-attached-chip profile showed
+        each separate int() pull costing a full network RTT)."""
+        cam = self.cfg.camera
+        close = (depth > 0) & (depth < cam.th_depth * cam.baseline)
+        tracked = kp_pt >= 0
+        n_close_trk = jnp.sum(close & tracked & valid)
+        n_close_untrk = jnp.sum(close & ~tracked & valid)
+        # reference tracked points with >= nMinObs observations
+        # (Tracking.cc:1261-1266)
+        ref_pt = m.kf_kp_pt[last_kf]
+        P = m.pt_xyz.shape[0]
+        ref_matches = jnp.sum(
+            (ref_pt >= 0)
+            & (m.pt_n_obs[jnp.clip(ref_pt, 0, P - 1)] >= min_obs)
+            & m.pt_valid[jnp.clip(ref_pt, 0, P - 1)])
+        return jnp.stack([n_close_trk, n_close_untrk,
+                          ref_matches]).astype(jnp.int32)
+
     def _stereo_init_impl(self, m, frame):
         create = frame.valid & (frame.depth > 0)
         m, kf_id = map_ops.insert_keyframe(
@@ -384,13 +406,27 @@ class SlamSystem:
                                       last.level, last.valid, T_pred,
                                       cfg.tracking.motion_model_radius,
                                       last.Tcw)
-                if int(tr.n_matches) < 20:
+                # ONE packed pull for both gate scalars (each separate
+                # int() costs a full RTT on a remote-attached chip)
+                nm, ni = (int(x) for x in np.asarray(
+                    jnp.stack([tr.n_matches, tr.n_inliers])))
+                if nm < 20:
                     # wide-window retry (Tracking.cc:967-975 doubles th)
                     tr = self._jit_motion(
                         self.map, frame, last.uv, last.kp_pt,
                         last.level, last.valid, T_pred,
                         2.0 * cfg.tracking.motion_model_radius, last.Tcw)
-        if int(tr.n_matches) < 20 or int(tr.n_inliers) < 10:
+                    nm, ni = (int(x) for x in np.asarray(
+                        jnp.stack([tr.n_matches, tr.n_inliers])))
+        if self.enable_mapping:
+            thin = nm < 20 or ni < 10
+        else:
+            thin = int(tr.n_matches) < 20 or int(tr.n_inliers) < 10
+        if self.enable_mapping:
+            tr_ni = ni
+        else:
+            tr_ni = int(tr.n_inliers)
+        if thin:
             # the reference REFUSES a thin motion-model consensus before
             # optimizing (Tracking.cc:977 `if(nmatches<20) return false`) —
             # a dozen spatially-consistent wrong matches can pass the chi2
@@ -398,9 +434,10 @@ class SlamSystem:
             tr_kf = self._jit_refkf(self.map, frame,
                                     jnp.int32(max(self.last_kf_id, 0)),
                                     last.Tcw)
-            if int(tr_kf.n_inliers) > int(tr.n_inliers):
-                tr = tr_kf
-        if int(tr.n_inliers) < 10:
+            kf_ni = int(tr_kf.n_inliers)
+            if kf_ni > tr_ni:
+                tr, tr_ni = tr_kf, kf_ni
+        if tr_ni < 10:
             tr = self._relocalize(frame)
             if tr is None:
                 self.state = LOST
@@ -408,11 +445,13 @@ class SlamSystem:
                 self.last_frame = frame._replace(Tcw=last.Tcw)
                 self.frame_id += 1
                 return self.last_frame
+            tr_ni = int(tr.n_inliers)
 
         # --- object association (before local map, Tracking.cc:453) ---
         if self.objects is not None:
-            frame = frame._replace(Tcw=tr.Tcw)
-            frame = self.objects.associate(self.map, frame, last)
+            with self.profiler.span("track.obj_associate"):
+                frame = frame._replace(Tcw=tr.Tcw)
+                frame = self.objects.associate(self.map, frame, last)
 
         # --- local map tracking ---
         if vo_mode:
@@ -429,23 +468,30 @@ class SlamSystem:
             frame = frame._replace(Tcw=tr.Tcw, kp_pt=tr.kp_pt,
                                    pose_ok=jnp.array(ok))
             if ok:
-                self.velocity = np.asarray(tr.Tcw @ se3.inverse(last.Tcw))
+                self.velocity = tr.Tcw @ se3.inverse(last.Tcw)
             self._record(frame, ok)
             self.last_frame = frame
             self.frame_id += 1
             return frame
         with self.profiler.span("track.local_map"):
             if self.objects is not None and bool(jnp.any(frame.obj3d >= 0)):
-                tr2, self.map = self.objects.track_local_map_semantic(
-                    self.map, frame, tr)
+                tr2, self.map, n_sem = \
+                    self.objects.track_local_map_semantic(
+                        self.map, frame, tr)
                 ref_kf = self.last_kf_id
+                # one packed pull: inlier count + semantic-constraint
+                # count (N_AllSemanticConstraintNum accumulation)
+                packed = np.asarray(jnp.stack(
+                    [tr2.n_inliers, jnp.asarray(n_sem, jnp.int32)]))
+                n_inl = int(packed[0])
+                self.objects.semantic_constraints += int(packed[1])
             else:
                 tr2, self.map, ref_kf = self._jit_local(self.map, frame, tr,
                                                         last.Tcw)
                 ref_kf = int(ref_kf)
-        n_inl = int(tr2.n_inliers)
+                n_inl = int(tr2.n_inliers)
         ok = n_inl >= 30 or (n_inl >= 10 and self.frame_id < 5)
-        if not ok and int(tr.n_inliers) >= 10:
+        if not ok and tr_ni >= 10:
             # reference-KF fallback BEFORE declaring LOST: when the
             # motion-model chain degraded through local-map tracking, retry
             # from a brute match against the reference keyframe and run the
@@ -475,11 +521,15 @@ class SlamSystem:
         # --- object landmark update (map mutation — skipped in
         # localization-only mode, as all map building is) ---
         if self.objects is not None and ok and self.enable_mapping:
-            self.map, frame = self.objects.update(self.map, frame)
+            with self.profiler.span("track.obj_update"):
+                self.map, frame = self.objects.update(self.map, frame)
 
         # --- motion model ---
         if ok:
-            self.velocity = np.asarray(tr2.Tcw @ se3.inverse(last.Tcw))
+            # stays a device array: forcing it to host costs an RTT per
+            # frame on a remote-attached chip; every consumer re-wraps
+            # with jnp.asarray anyway
+            self.velocity = tr2.Tcw @ se3.inverse(last.Tcw)
 
         # --- keyframe policy ---
         if ok and self.enable_mapping:
@@ -491,20 +541,12 @@ class SlamSystem:
                     with self.profiler.span("loop.on_keyframe"):
                         self.map, _ = self.loop_closer.on_keyframe(
                             self.map, merged_kf)
-            close = (frame.depth > 0) & (frame.depth < cfg.camera.th_depth
-                                         * cfg.camera.baseline)
-            tracked = frame.kp_pt >= 0
-            n_close_trk = int(jnp.sum(close & tracked & frame.valid))
-            n_close_untrk = int(jnp.sum(close & ~tracked & frame.valid))
-            # reference tracked points with >= nMinObs observations
-            # (Tracking.cc:1261-1266)
-            ref_pt = self.map.kf_kp_pt[self.last_kf_id]
-            P = self.map.pt_xyz.shape[0]
-            min_obs = 3 if self.n_keyframes > 2 else 1
-            ref_matches = int(jnp.sum(
-                (ref_pt >= 0)
-                & (self.map.pt_n_obs[jnp.clip(ref_pt, 0, P - 1)] >= min_obs)
-                & self.map.pt_valid[jnp.clip(ref_pt, 0, P - 1)]))
+            with self.profiler.span("track.kf_policy"):
+                pol = np.asarray(self._jit_kf_policy(
+                    self.map, frame.depth, frame.kp_pt, frame.valid,
+                    jnp.int32(max(self.last_kf_id, 0)),
+                    jnp.int32(3 if self.n_keyframes > 2 else 1)))
+            n_close_trk, n_close_untrk, ref_matches = (int(x) for x in pol)
             if os.environ.get("OSLAM_DEBUG"):
                 print(f"[kf-policy] f={self.frame_id} inl={n_inl} "
                       f"ref={ref_matches} close_trk={n_close_trk} "
@@ -515,7 +557,9 @@ class SlamSystem:
                     self.frames_since_kf,
                     max_frames=cfg.tracking.max_frames_between_kf,
                     last_kf_inliers=getattr(self, "_kf_inliers", 0)):
-                spawn = close & ~tracked & frame.valid
+                close = (frame.depth > 0) & (
+                    frame.depth < cfg.camera.th_depth * cfg.camera.baseline)
+                spawn = close & (frame.kp_pt < 0) & frame.valid
                 if self._async is not None and self._async.pending:
                     # a mapping pass is still in flight: fold it in before
                     # inserting on top (the KF-rate barrier — non-KF
@@ -706,9 +750,11 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def _record(self, frame, tracked: bool):
-        Tcw = np.asarray(frame.Tcw)
         ref = max(self.last_kf_id, 0)
-        Tkw = np.asarray(self.map.kf_pose[ref])
+        # one packed pull for both poses (2 RTTs -> 1 on a remote chip)
+        pair = np.asarray(jnp.stack([jnp.asarray(frame.Tcw),
+                                     self.map.kf_pose[ref]]))
+        Tcw, Tkw = pair[0], pair[1]
         Tcr = Tcw @ np.linalg.inv(Tkw)
         self.trajectory.append(FrameRecord(
             timestamp=float(frame.timestamp), Tcw=Tcw, ref_kf=ref,
