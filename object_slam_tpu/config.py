@@ -175,6 +175,13 @@ class LoopConfig:
     covis_weight_min: int = 15           # covisibility edge threshold (KeyFrame.cc:289)
     sim3_inliers: int = 20
     total_matches_accept: int = 40
+    # closure-benefit gate: roll the speculative correction back when the
+    # post-GBA mean robust reprojection cost grows by more than this
+    # fraction AND more than the absolute floor (loop_closing._correct_loop;
+    # the floor keeps near-zero-residual maps from tripping the relative
+    # test on numerical noise)
+    benefit_gate_tolerance: float = 0.05
+    benefit_gate_abs_floor: float = 0.01
 
 
 @dataclass(frozen=True)

@@ -188,34 +188,58 @@ class SyntheticScene:
                 b['center'] = b['center'] * scale
                 b['size'] *= scale
         if corridor_len is not None:
-            # Street-canyon mode (KITTI drives): stretch the room along +z
-            # so a forward trajectory of `corridor_len` world units stays
+            # Street-canyon mode (KITTI drives): stretch the room so the
+            # WHOLE camera `path` (array of world camera centers) stays
             # inside the closed surface set (a ray escaping every surface
             # renders depth 0 and starves tracking), and respawn all box
-            # content along the drive with clearance from the camera
-            # `path` (array of world camera centers) instead of around the
-            # in-room ring. All quantities here are POST-scale units.
+            # content along the drive with clearance from the path.
+            # Bounds derive from the path extents + margin — a curving
+            # drive leaves x=0, and fixed side walls let the camera graze
+            # or exit the room (ADVICE r2). All quantities POST-scale.
+            pth = (np.asarray(path, np.float64) if path is not None
+                   else np.zeros((1, 3)))
+            margin = 4.0 * scale
+            bounds_lo = bounds_lo.copy()
             bounds_hi = bounds_hi.copy()
-            bounds_hi[2] = float(corridor_len)
+            bounds_lo[0] = min(float(bounds_lo[0]),
+                               float(pth[:, 0].min()) - margin)
+            bounds_hi[0] = max(float(bounds_hi[0]),
+                               float(pth[:, 0].max()) + margin)
+            bounds_lo[2] = min(float(bounds_lo[2]),
+                               float(pth[:, 2].min()) - margin)
+            bounds_hi[2] = max(float(corridor_len),
+                               float(pth[:, 2].max()) + margin)
             for s in surfaces:
-                if s['axis'] == 2 and s['offset'] > 0:
-                    s['offset'] = float(corridor_len)
-            plane_z = float(corridor_len)
+                if s['axis'] == 2:
+                    s['offset'] = float(bounds_hi[2] if s['offset'] > 0
+                                        else bounds_lo[2])
+                elif s['axis'] == 0:
+                    s['offset'] = float(bounds_hi[0] if s['offset'] > 0
+                                        else bounds_lo[0])
+            plane_z = float(bounds_hi[2])
             floor_y = 1.0 * scale
 
             def _clear_of_path(c, size):
                 if path is None:
                     return True
-                d = np.min(np.linalg.norm(
-                    np.asarray(path, np.float64) - c[None, :], axis=1))
+                d = np.min(np.linalg.norm(pth - c[None, :], axis=1))
                 return d > size * 0.87 + 2.0
 
+            def _lane_x(z):
+                """Path x at depth z (the drive may curve) so boxes line
+                the lane instead of hugging x=0."""
+                if path is None or len(pth) < 2:
+                    return 0.0
+                return float(np.interp(z, pth[:, 2], pth[:, 0]))
+
+            z_lo = float(pth[:, 2].min()) + 2.0 * scale
+            z_hi = max(float(pth[:, 2].max()), corridor_len) - 2.0 * scale
             structures = []
             while len(structures) < n_structures:
                 size = rng.uniform(0.25, 0.8) * scale
-                c = np.array([rng.uniform(-2.0, 2.0) * scale,
-                              floor_y - size / 2,
-                              rng.uniform(2.0, corridor_len - 2.0)])
+                z = rng.uniform(z_lo, z_hi)
+                c = np.array([_lane_x(z) + rng.uniform(-2.0, 2.0) * scale,
+                              floor_y - size / 2, z])
                 if _clear_of_path(c, size):
                     structures.append(dict(center=c, size=size,
                                            tex=_smooth_texture(rng, 64)))
@@ -223,10 +247,10 @@ class SyntheticScene:
             boxes = []
             while len(boxes) < n_objects:
                 size = rng.uniform(0.4, 0.7) * scale
-                c = np.array([rng.choice([-1, 1]) * rng.uniform(0.8, 1.8)
-                              * scale,
-                              floor_y - size / 2,
-                              rng.uniform(4.0, corridor_len * 0.8)])
+                z = rng.uniform(z_lo + 2.0 * scale, z_hi * 0.8)
+                c = np.array([_lane_x(z) + rng.choice([-1, 1])
+                              * rng.uniform(0.8, 1.8) * scale,
+                              floor_y - size / 2, z])
                 if _clear_of_path(c, size):
                     boxes.append(dict(center=c, size=size,
                                       label=old_labels[len(boxes)

@@ -141,12 +141,21 @@ def subpixel_refine(raw_score, ys, xs):
     return dy, dx
 
 
-def nonmax_suppress(score):
-    """3x3 non-maximum suppression: keep pixels that are the strict max of
-    their neighborhood."""
+def nonmax_suppress(score, quantum: float = 0.25):
+    """3x3 non-maximum suppression: keep pixels that are the max of their
+    neighborhood, compared on a quarter-intensity-quantized lattice.
+
+    Why quantize: score plateaus (flat texture blocks, resize artifacts)
+    produce exact ties whose survivors all pass `>=`; +-ulp input noise
+    breaks those ties RANDOMLY, changing which pixels survive between
+    repeat runs — the r2 repeat-run ATE band started here. On the lattice
+    near-ties stay ties and the survivor set is noise-stable; downstream
+    per-cell selection breaks residual ties by index (extractor._cell_topk).
+    """
+    q = jnp.floor(score * (1.0 / quantum))
     neigh = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), 'SAME')
-    return jnp.where(score >= neigh, score, 0.0)
+        q, -jnp.inf, jax.lax.max, (3, 3), (1, 1), 'SAME')
+    return jnp.where(q >= neigh, score, 0.0)
 
 
 def detect(img, threshold: float, arc_len: int = 9, border: int = 3):

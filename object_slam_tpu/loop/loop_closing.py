@@ -62,6 +62,8 @@ class LoopCloser:
         self.last_loop_kf = -10
         self.rng = jax.random.PRNGKey(42)
         self.n_loops_closed = 0
+        self.n_loops_rejected = 0   # benefit-gate rollbacks (see _correct_loop)
+        self._jit_quality = jax.jit(self._quality_impl)
         self._jit_bow = jax.jit(self._bow_impl)
         self._jit_detect = jax.jit(self._detect_impl)
         self._jit_match_pairs = jax.jit(self._match_pairs_impl)
@@ -130,11 +132,18 @@ class LoopCloser:
         for loop_kf in enough:
             ok, T12, s12, n_inl = self._compute_sim3(m, kf_id, loop_kf)
             if ok:
-                m = self._correct_loop(m, kf_id, loop_kf, T12, s12)
+                m, accepted = self._correct_loop(m, kf_id, loop_kf,
+                                                 T12, s12)
+                # cooldown fires either way: a rejected closure means the
+                # map is already consistent here — re-detecting (and re-
+                # running speculative GBA) every keyframe is pure waste
                 self.last_loop_kf = kf_id
                 self.consistent_groups = []
-                self.n_loops_closed += 1
-                return m, True
+                if accepted:
+                    self.n_loops_closed += 1
+                    return m, True
+                self.n_loops_rejected += 1
+                return m, False
         return m, False
 
     # ------------------------------------------------------------------
@@ -372,14 +381,14 @@ class LoopCloser:
 
         return jax.lax.fori_loop(0, kfs.shape[0], body, m)
 
-    def _gba_impl(self, m: MapState):
+    def _build_ba_problem(self, m: MapState) -> BAProblem:
         Kcap, N = m.kf_kp_pt.shape
         P = m.pt_xyz.shape[0]
         kp_pt = m.kf_kp_pt
         obs_valid = (kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
         ptc = jnp.clip(kp_pt, 0, P - 1)
         obs_valid = obs_valid & m.pt_valid[ptc]
-        prob = BAProblem(
+        return BAProblem(
             kf_pose=m.kf_pose,
             kf_fixed=jnp.zeros((Kcap,), bool).at[0].set(True) | ~m.kf_valid,
             kf_valid=m.kf_valid,
@@ -390,21 +399,59 @@ class LoopCloser:
             obs_ur=jnp.where(obs_valid, m.kf_kp_ur, -1.0).reshape(-1),
             obs_inv_sigma2=jnp.ones((Kcap * N,)),
             obs_valid=obs_valid.reshape(-1))
+
+    def _gba_impl(self, m: MapState):
+        prob = self._build_ba_problem(m)
         kf_pose, pt_xyz = global_ba(self.K, prob,
                                     iters=self.cfg.solver.global_ba_iters)
         return m._replace(kf_pose=kf_pose, pt_xyz=pt_xyz,
                           version=m.version + 1)
+
+    def _quality_impl(self, m: MapState):
+        """Map self-consistency: mean Huber reprojection cost per live
+        observation — the closure-benefit gate metric. A genuine loop
+        closure (drift removed, duplicates fused, GBA converged) lowers
+        it; a closure applied to an already-consistent map warps a
+        consistent geometry and raises it."""
+        from object_slam_tpu.solvers.ba import _robust_cost
+        prob = self._build_ba_problem(m)
+        cost = _robust_cost(self.K, prob, prob.kf_pose, prob.pt_xyz,
+                            self.cfg.solver.chi2_mono,
+                            self.cfg.solver.chi2_stereo, lambda x: x)
+        n = jnp.maximum(jnp.sum(prob.obs_valid.astype(jnp.float32)), 1.0)
+        return cost / n
 
     def _correct_loop(self, m: MapState, q: int, l: int, T12, s12):
         """CorrectLoop (LoopClosing.cc:403-644) in the reference's order:
         propagate the corrected Sim3 to the query's covisible group ->
         SearchAndFuse with the corrected poses -> essential-graph
         optimization (measurements from the pre-correction geometry) ->
-        global BA."""
+        global BA.
+
+        Closure-benefit gate (beyond the reference's inlier/consistency
+        acceptance, LoopClosing.cc:232-401): the functional MapState keeps
+        the pre-correction map alive for free, so the full correction is
+        applied SPECULATIVELY and rolled back when the post-GBA map is
+        less self-consistent than before (mean robust reprojection cost,
+        _quality_impl). Round 2 measured a valid-looking closure on a
+        low-drift circuit REGRESSING ATE 30.2 -> 76.7 mm — the Sim3
+        measurement error exceeded the drift it "fixed"; no inlier-count
+        gate can catch that, the map residual can.
+
+        Returns (m, accepted).
+        """
+        m_before = m
+        q_before = self._jit_quality(m)
         m, T_old, _, s_init = self._jit_propagate(
             m, jnp.int32(q), jnp.int32(l), T12, jnp.float32(s12))
         m = self._jit_fuse(m, jnp.int32(q), jnp.int32(l))
         m = self._jit_pose_graph(m, jnp.int32(q), jnp.int32(l), T12,
                                  jnp.float32(s12), T_old, s_init)
         m = self._jit_gba(m)
-        return m
+        q_after = self._jit_quality(m)
+        qb, qa = (float(x) for x in np.asarray(
+            jnp.stack([q_before, q_after])))
+        if qa > (qb * (1.0 + self.cfg.loop.benefit_gate_tolerance)
+                 + self.cfg.loop.benefit_gate_abs_floor):
+            return m_before, False
+        return m, True

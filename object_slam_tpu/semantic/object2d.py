@@ -27,6 +27,31 @@ FT_CROP = 256   # per-instance feature-transform window (see build docstring)
 from object_slam_tpu.semantic import hsv as hsv_mod
 
 
+# ---------------------------------------------------------------------------
+# Mask transfer packing
+# ---------------------------------------------------------------------------
+# The semantic masks are the largest per-frame host->device payload: a
+# [16, 480, 640] bool slab is ~4.9 MB/frame — on a remote-attached chip
+# this transfer alone capped the objects-ON pipeline (measured round 2,
+# scripts/diag_fullpipe.py). Masks are 1-bit data; ship them bit-packed
+# (8x smaller) and unpack on device with two cheap VPU ops.
+
+def pack_mask_bits(masks) -> "np.ndarray":
+    """HOST-side: [..., W] bool -> [..., ceil(W/8)] uint8 (np.packbits
+    big-endian bit order). Call before shipping masks to the device."""
+    import numpy as np
+    return np.packbits(np.asarray(masks, dtype=bool), axis=-1)
+
+
+def unpack_mask_bits(packed, width: int):
+    """DEVICE-side inverse of pack_mask_bits: [..., B] uint8 ->
+    [..., width] bool (width <= B*8)."""
+    shifts = (7 - jnp.arange(8, dtype=jnp.uint8))
+    bits = (packed[..., :, None] >> shifts) & jnp.uint8(1)
+    flat = bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
+    return flat[..., :width].astype(bool)
+
+
 class Object2DSlab(NamedTuple):
     """Static [I]-capacity slab of per-frame object detections.
 

@@ -101,6 +101,9 @@ class FrameBuilder:
     def build_rgbd(self, gray, depth_img, rgb, sem_arrays, timestamp):
         """gray [H, W] f32; depth_img [H, W] metric depth; rgb [H, W, 3];
         sem_arrays = (masks, labels, probs, bboxes, valid) static slab.
+        masks may be [I, H, W] bool (packed here) or already bit-packed
+        [I, H, ceil(W/8)] uint8 (pack_sem_arrays) — the device only ever
+        receives the packed form (8x less transfer).
 
         Host-side dispatch: frames with no valid detections take the
         object-free pipeline (skips mask erosion / HSV histograms / the
@@ -110,8 +113,18 @@ class FrameBuilder:
         if sem_arrays is None or not np.any(np.asarray(sem_arrays[4])):
             return self._rgbd_noobj(gray, depth_img, jnp.float32(timestamp),
                                     rgb if gray is None else None)
-        return self._rgbd(gray, depth_img, rgb, *sem_arrays,
+        return self._rgbd(gray, depth_img, rgb,
+                          *self.pack_sem_arrays(sem_arrays),
                           jnp.float32(timestamp))
+
+    def pack_sem_arrays(self, sem_arrays):
+        """Bit-pack the mask slab for transfer (idempotent)."""
+        import numpy as np
+        masks = sem_arrays[0]
+        if getattr(masks, "dtype", None) == np.uint8 or \
+                (hasattr(masks, "dtype") and masks.dtype == jnp.uint8):
+            return sem_arrays
+        return (o2d_mod.pack_mask_bits(masks),) + tuple(sem_arrays[1:])
 
     def _build_rgbd_noobj(self, gray, depth_img, timestamp,
                           rgb=None) -> FrameData:
@@ -134,9 +147,10 @@ class FrameBuilder:
                                  kp.uv.shape[0])
         return self._assemble(kp, uv_und, ur, depth, obj, timestamp)
 
-    def _build_rgbd(self, gray, depth_img, rgb, masks, labels, probs,
+    def _build_rgbd(self, gray, depth_img, rgb, masks_packed, labels, probs,
                     bboxes, inst_valid, timestamp) -> FrameData:
         cfg = self.cfg
+        masks = o2d_mod.unpack_mask_bits(masks_packed, cfg.camera.width)
         rgb = _to_f32_image(rgb)
         if gray is None:
             gray = _luma(rgb)
@@ -162,12 +176,14 @@ class FrameBuilder:
 
     # ------------------------------------------------------------------
     def build_stereo(self, gray_l, gray_r, rgb, sem_arrays, timestamp):
-        return self._stereo(gray_l, gray_r, rgb, *sem_arrays,
+        return self._stereo(gray_l, gray_r, rgb,
+                            *self.pack_sem_arrays(sem_arrays),
                             jnp.float32(timestamp))
 
-    def _build_stereo(self, gray_l, gray_r, rgb, masks, labels, probs,
+    def _build_stereo(self, gray_l, gray_r, rgb, masks_packed, labels, probs,
                       bboxes, inst_valid, timestamp) -> FrameData:
         cfg = self.cfg
+        masks = o2d_mod.unpack_mask_bits(masks_packed, cfg.camera.width)
         gray_l = _to_f32_image(gray_l)
         gray_r = _to_f32_image(gray_r)
         rgb = _to_f32_image(rgb)
@@ -227,6 +243,7 @@ class FrameBuilder:
         import numpy as np
         I = cfg.semantic.max_instances
         H, W = cfg.camera.height, cfg.camera.width
-        return (np.zeros((I, H, W), bool), np.full((I,), -1, np.int32),
+        return (np.zeros((I, H, (W + 7) // 8), np.uint8),
+                np.full((I,), -1, np.int32),
                 np.zeros((I,), np.float32), np.zeros((I, 4), np.float32),
                 np.zeros((I,), bool))

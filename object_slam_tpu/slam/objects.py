@@ -187,6 +187,7 @@ class ObjectEngine:
         self._jit_assoc = jax.jit(self._assoc_impl)
         self._jit_update = jax.jit(self._update_impl)
         self._jit_semopt = jax.jit(self._semopt_impl)
+        self._jit_semlocal = jax.jit(self._semlocal_impl)
 
     # -- association ----------------------------------------------------
     def associate(self, m: MapState, frame: FrameData,
@@ -396,8 +397,15 @@ class ObjectEngine:
                                  tr: TrackResult):
         """Local-map tracking where the final pose solve includes the
         object mask-attraction edges (the TrackLocalMap ->
-        ObjectOptimizer::PoseOptimization2 path, Tracking.cc:1011-1022)."""
+        ObjectOptimizer::PoseOptimization2 path, Tracking.cc:1011-1022).
+        One jitted program — round 2 ran the local-map half eagerly,
+        paying one device round trip PER OP on a remote-attached chip."""
+        return self._jit_semlocal(m, frame, tr)
+
+    def _semlocal_impl(self, m: MapState, frame: FrameData,
+                       tr: TrackResult):
         from object_slam_tpu.slam import tracking as trk
+        import math
         # standard local-map search + first optimization
         res, m, _ = trk.track_local_map(
             self.K, m, frame, tr,
@@ -407,8 +415,8 @@ class ObjectEngine:
             inv_sigma2_lvl=jnp.asarray(
                 [1.0 / self.cfg.orb.scale_factor ** (2 * l)
                  for l in range(self.cfg.orb.n_levels)], jnp.float32),
-            log_scale=float(jnp.log(jnp.float32(self.cfg.orb.scale_factor))))
-        Tcw, kp_pt, inl, n_sem = self._jit_semopt(m, frame, res)
+            log_scale=math.log(self.cfg.orb.scale_factor))
+        Tcw, kp_pt, inl, n_sem = self._semopt_impl(m, frame, res)
         # n_sem comes back as a DEVICE scalar so the caller can fetch it
         # packed with the inlier count in one round trip; the caller owns
         # adding it to self.semantic_constraints

@@ -109,6 +109,7 @@ class SlamSystem:
                  enable_mapping: bool = True,
                  enable_loop: bool = False,
                  async_mapping: bool = False,
+                 vocab_path: Optional[str] = None,
                  metrics=None):
         self.cfg = cfg or SlamConfig()
         self.builder = FrameBuilder(self.cfg)
@@ -123,8 +124,15 @@ class SlamSystem:
         self.loop_closer = None
         if enable_loop:
             from object_slam_tpu.loop.loop_closing import LoopCloser
+            vocab = None
+            if vocab_path:
+                # drop-in external vocabulary (ORBvoc.txt-style DBoW2
+                # text; System.cc:69 loads the same format)
+                from object_slam_tpu.loop.vocabulary import Vocabulary
+                vocab = Vocabulary.load_dbow2_text(vocab_path)
             self.loop_closer = LoopCloser(
-                self.cfg, self.K, fix_scale=self.cfg.sensor != "mono")
+                self.cfg, self.K, vocab=vocab,
+                fix_scale=self.cfg.sensor != "mono")
             n_words = self.loop_closer.vocab.n_words
             self.map = self.map._replace(
                 kf_bow=jnp.zeros((self.cfg.caps.max_keyframes, n_words)))
@@ -143,6 +151,7 @@ class SlamSystem:
         self.frame_id = 0
         self.trajectory: List[FrameRecord] = []
         self.rng = jax.random.PRNGKey(0)
+        self._host_ts = 0.0
 
         self._jit_stereo_init = jax.jit(self._stereo_init_impl)
         self._jit_motion = jax.jit(self._motion_impl)
@@ -240,13 +249,21 @@ class SlamSystem:
     def _fused_impl(self, m, frame, last, T_pred, last_kf_id,
                     frames_since_kf, frame_id, last_kf_inliers):
         cfg = self.cfg
+        # object stages fold into the SAME one-sync program when objects
+        # are enabled (the reference runs TrackObject + PoseOptimization2
+        # + UpdateCurrentObject inline in Track(); Tracking.cc:453-545)
+        hooks = None
+        if self.objects is not None:
+            hooks = (self.objects._assoc_impl, self.objects._semopt_impl,
+                     self.objects._update_impl)
         return trk.track_frame_fused(
             self.K, m, frame, last, T_pred, last_kf_id, frames_since_kf,
             frame_id, last_kf_inliers,
             self.scale_factors, self.inv_sigma2, self.log_scale,
             motion_radius=cfg.tracking.motion_model_radius,
             close_depth=cfg.camera.th_depth * cfg.camera.baseline,
-            max_frames_between_kf=cfg.tracking.max_frames_between_kf)
+            max_frames_between_kf=cfg.tracking.max_frames_between_kf,
+            obj_hooks=hooks)
 
     # ------------------------------------------------------------------
     # public per-frame API
@@ -274,6 +291,7 @@ class SlamSystem:
         Initialization = two-view H/F-gated essential-matrix bootstrap
         (solvers/initializer.py) instead of depth-based point spawning."""
         frame = self.builder.build_mono(gray, timestamp)
+        self._host_ts = float(timestamp)
         if self.state == NOT_INITIALIZED:
             return self._mono_initialize(frame)
         return self._track_and_emit(frame)
@@ -385,8 +403,9 @@ class SlamSystem:
             self.frame_id += 1
             return frame
 
-        if (self.objects is None and self.enable_mapping
-                and self.state == OK):
+        if self.enable_mapping and self.state == OK:
+            # one-sync fused program, objects on or off (round 3: the
+            # object stages are hooks inside the same compiled chain)
             return self._track_fused(frame)
 
         # --- initial pose ---
@@ -418,14 +437,12 @@ class SlamSystem:
                         2.0 * cfg.tracking.motion_model_radius, last.Tcw)
                     nm, ni = (int(x) for x in np.asarray(
                         jnp.stack([tr.n_matches, tr.n_inliers])))
-        if self.enable_mapping:
-            thin = nm < 20 or ni < 10
-        else:
-            thin = int(tr.n_matches) < 20 or int(tr.n_inliers) < 10
-        if self.enable_mapping:
-            tr_ni = ni
-        else:
-            tr_ni = int(tr.n_inliers)
+        if not self.enable_mapping:
+            # localization-only branch: same single packed pull (2 RTTs->1)
+            nm, ni = (int(x) for x in np.asarray(
+                jnp.stack([tr.n_matches, tr.n_inliers])))
+        thin = nm < 20 or ni < 10
+        tr_ni = ni
         if thin:
             # the reference REFUSES a thin motion-model consensus before
             # optimizing (Tracking.cc:977 `if(nmatches<20) return false`) —
@@ -601,15 +618,17 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def _track_fused(self, frame: FrameData):
-        """Latency-optimal per-frame path (objects off, mapping on): the
-        whole tracking chain runs as ONE device program and the host
-        syncs on ONE packed vector — see trk.track_frame_fused. Keyframe
-        insertion/mapping adds work only on KF frames."""
+        """Latency-optimal per-frame path (mapping on): the whole tracking
+        chain — including the object association / semantic pose opt /
+        object update stages when objects are enabled — runs as ONE device
+        program and the host syncs on ONE packed vector — see
+        trk.track_frame_fused. Keyframe insertion/mapping adds work only
+        on KF frames."""
         cfg = self.cfg
         last = self.last_frame
         T_pred = jnp.asarray(self.velocity) @ last.Tcw
         with self.profiler.span("track.fused"):
-            self.map, tr2, packed = self._jit_fused(
+            self.map, tr2, obj3d, packed = self._jit_fused(
                 self.map, frame, last, T_pred,
                 jnp.int32(max(self.last_kf_id, 0)),
                 jnp.int32(self.frames_since_kf), jnp.int32(self.frame_id),
@@ -620,6 +639,11 @@ class SlamSystem:
         need_kf = p[49] > 0.5
         n_inl = int(p[50])
         self._last_n_inliers = n_inl
+        if self.objects is not None:
+            # N_AllSemanticConstraintNum analogue, from the same packed
+            # sync (ObjectOptimizer.cc:23,1233)
+            self.objects.semantic_constraints += int(p[56])
+            frame = frame._replace(obj3d=obj3d)
 
         if not ok and n_inl < 10:
             tr_rel = self._relocalize(frame)
@@ -713,8 +737,12 @@ class SlamSystem:
                 m.kf_bow, m.kf_valid, bow)
             cand_np = np.asarray(cand)
             if cand_np.any():
+                # the reference iterates ALL candidates, each with its own
+                # RANSAC + optimization, until one reaches 50 inliers
+                # (Tracking.cc:1640-1751 while(nCandidates>0)); score
+                # order gives the early exit its best shot
                 order = np.argsort(-np.asarray(scores) * cand_np)
-                for kf in order[:5]:
+                for kf in order[:int(cand_np.sum())]:
                     if not cand_np[kf]:
                         break
                     self.rng, k = jax.random.split(self.rng)
@@ -760,12 +788,24 @@ class SlamSystem:
             timestamp=float(frame.timestamp), Tcw=Tcw, ref_kf=ref,
             Tcr=Tcr, tracked=tracked))
 
+    def flush_mapping(self):
+        """Fold any in-flight async mapping pass into the live map (the
+        Shutdown-time thread join analogue) — without this the last
+        keyframe's triangulation/BA would be dropped on save."""
+        if self._async is not None and self._async.pending:
+            merged_kf = self._async.pending_kf
+            self.map = self._async.merge(self.map)
+            if self.loop_closer is not None and merged_kf >= 0:
+                self.map, _ = self.loop_closer.on_keyframe(
+                    self.map, merged_kf)
+
     def final_trajectory(self):
         """Recompose each frame pose from its reference KF's (possibly
         BA/loop-corrected) pose, as SaveTrajectoryTUM (System.cc:378-436).
         Records whose reference KF was culled hop the spanning tree via
         the frozen T_child_parent (the reference's while-isBad walk,
         System.cc:400-410) so they still inherit corrections."""
+        self.flush_mapping()
         kf_pose = np.asarray(self.map.kf_pose)
         kf_valid = np.asarray(self.map.kf_valid)
         kf_parent = np.asarray(self.map.kf_parent)

@@ -34,10 +34,11 @@ def main():
     ap.add_argument("--no-loop", action="store_true",
                     help="identical run with the loop module off — the "
                          "A/B control for the closure's ATE effect")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "axon"])
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from scripts.ab_deviations import build_cfg
@@ -100,9 +101,10 @@ def main():
         events.append(ev)
         print("CLOSURE", json.dumps(ev), flush=True)
         kf_pose_errors(m, "before")
-        m2 = orig_correct(m, q, l, T12, s12)
-        kf_pose_errors(m2, "after")
-        return m2
+        m2, accepted = orig_correct(m, q, l, T12, s12)
+        ev["accepted"] = bool(accepted)
+        kf_pose_errors(m2, "after" if accepted else "after(REJECTED)")
+        return m2, accepted
 
     if lc is not None:
         lc._correct_loop = instrumented
@@ -129,6 +131,7 @@ def main():
         "tracked": int(ok.sum()), "frames": args.frames,
         "online_ate_mm": float(np.sqrt((err ** 2).mean()) * 1e3),
         "loops_closed": lc.n_loops_closed if lc is not None else 0,
+        "loops_rejected": lc.n_loops_rejected if lc is not None else 0,
     }))
 
     # final (retro-corrected) trajectory, as the driver saves it

@@ -55,9 +55,22 @@ def main():
     times, gt_lines = [], []
 
     # fork-based pool: the ray-caster is single-threaded numpy at ~4 s per
-    # KITTI-resolution stereo frame; frames are independent
+    # KITTI-resolution stereo frame; frames are independent. Context-
+    # managed so workers are joined even when a render raises (ADVICE r2).
     import multiprocessing as mp
-    pool = mp.get_context("fork").Pool(max(mp.cpu_count(), 2))
+    with mp.get_context("fork").Pool(min(mp.cpu_count(), 16)) as pool:
+        _render_loop(pool, scene, poses, seq, sem_root, times, gt_lines,
+                     args)
+
+    with open(os.path.join(seq, "times.txt"), "w") as f:
+        f.write("\n".join(times) + "\n")
+    with open(os.path.join(seq, "gt.txt"), "w") as f:
+        f.write("\n".join(gt_lines) + "\n")
+    print(f"wrote {args.frames} stereo frames to {seq}")
+
+
+def _render_loop(pool, scene, poses, seq, sem_root, times, gt_lines, args):
+    from PIL import Image
     renders = pool.imap(scene.render_stereo, poses, chunksize=4)
 
     for i, (T, render) in enumerate(zip(poses, renders)):
@@ -88,12 +101,6 @@ def main():
             f.write("\n".join(lines) + ("\n" if lines else ""))
         if i % 25 == 0:
             print(f"frame {i}/{args.frames}", flush=True)
-
-    with open(os.path.join(seq, "times.txt"), "w") as f:
-        f.write("\n".join(times) + "\n")
-    with open(os.path.join(seq, "gt.txt"), "w") as f:
-        f.write("\n".join(gt_lines) + "\n")
-    print(f"wrote {args.frames} stereo frames to {seq}")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,14 @@ def main():
     ap.add_argument("--out", default="ExpResults")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--loop", action="store_true")
+    ap.add_argument("--vocab", default=None,
+                    help="external DBoW2-text vocabulary (ORBvoc.txt "
+                         "format) for --loop; default: the shipped "
+                         "corpus-trained vocab_synth.txt")
+    ap.add_argument("--sync-mapping", action="store_true",
+                    help="run keyframe mapping synchronously on the frame "
+                         "path (default: async, the LocalMapping-thread "
+                         "analogue — System.cc:95)")
     ap.add_argument("--platform", default=None, choices=["cpu", "axon"],
                     help="force the JAX backend (config.update beats the "
                          "sitecustomized jax_platforms).")
@@ -56,7 +64,8 @@ def main():
         frames = frames[:args.max_frames]
 
     sys_ = SlamSystem(cfg, enable_objects=args.semantic_dir is not None,
-                      enable_loop=args.loop)
+                      enable_loop=args.loop, vocab_path=args.vocab,
+                      async_mapping=not args.sync_mapping)
     pf = FramePrefetcher(n_workers=4, capacity=6)
     for i, fr in enumerate(frames):
         pf.submit(2 * i, fr.left_path)

@@ -33,10 +33,22 @@ def main():
     ap.add_argument("--out", default="ExpResults")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--loop", action="store_true")
+    ap.add_argument("--vocab", default=None,
+                    help="external DBoW2-text vocabulary (ORBvoc.txt "
+                         "format) for --loop; default: the shipped "
+                         "corpus-trained vocab_synth.txt")
+    ap.add_argument("--sync-mapping", action="store_true",
+                    help="run keyframe mapping synchronously on the frame "
+                         "path (default: async, the LocalMapping-thread "
+                         "analogue — System.cc:95)")
     ap.add_argument("--no-objects", action="store_true")
     ap.add_argument("--metrics", default=None,
                     help="write per-frame JSONL metrics to this path "
                          "(utils/metrics.MetricsStream)")
+    ap.add_argument("--viz-dir", default=None,
+                    help="dump per-frame overlay PNGs + an interactive "
+                         "HTML scrubber (the offline step-by-step viewer "
+                         "analogue, viz/scrubber.py) to this directory")
     ap.add_argument("--platform", default=None, choices=["cpu", "axon"],
                     help="force the JAX backend (config.update beats the "
                          "sitecustomized jax_platforms; the env var alone "
@@ -66,7 +78,9 @@ def main():
         from object_slam_tpu.utils.metrics import MetricsStream
         metrics = MetricsStream(args.metrics)
     sys_ = SlamSystem(cfg, enable_objects=not args.no_objects,
-                      enable_loop=args.loop, metrics=metrics)
+                      enable_loop=args.loop, vocab_path=args.vocab,
+                      async_mapping=not args.sync_mapping,
+                      metrics=metrics)
 
     # prefetch pipeline (native decode off the tracking thread)
     pf = FramePrefetcher(n_workers=4, capacity=8,
@@ -80,6 +94,11 @@ def main():
                 cfg.semantic.min_confidence, cfg.semantic.valid_labels_tum)
         meta.append(dets)
         pf.submit(i, fr.rgb_path, fr.depth_path, [])
+
+    scrub = None
+    if args.viz_dir:
+        from object_slam_tpu.viz.scrubber import Scrubber
+        scrub = Scrubber(args.viz_dir, fps=cfg.camera.fps)
 
     t0 = time.perf_counter()
     times = []
@@ -95,14 +114,23 @@ def main():
         # compact transfer: u8 rgb + raw u16 depth; grayscale conversion
         # and DepthMapFactor scaling happen on device (FrameBuilder) —
         # ~4x less host->device traffic per frame
-        sys_.track_rgbd(None, jnp.asarray(depth16.astype(np.uint16)),
-                        jnp.asarray(rgb.astype(np.uint8)),
-                        sem_arrays, timestamp=fr.timestamp)
+        f = sys_.track_rgbd(None, jnp.asarray(depth16.astype(np.uint16)),
+                            jnp.asarray(rgb.astype(np.uint8)),
+                            sem_arrays, timestamp=fr.timestamp)
         times.append(time.perf_counter() - tf0)
+        if scrub is not None:
+            scrub.add_frame(rgb, f,
+                            state={0: "NOT_INITIALIZED", 1: "OK",
+                                   2: "LOST"}[sys_.state],
+                            n_inliers=int(getattr(sys_, "_last_n_inliers",
+                                                  -1)),
+                            kfs=sys_.n_keyframes, ref_kf=sys_.last_kf_id)
         if i % 50 == 0:
             print(f"frame {i}/{len(frames)} kfs={sys_.n_keyframes} "
                   f"pts={sys_.n_points}")
     total = time.perf_counter() - t0
+    if scrub is not None:
+        print("scrubber:", scrub.write())
     pf.close()
     if metrics is not None:
         metrics.close()
@@ -130,6 +158,7 @@ def main():
     }
     if sys_.loop_closer is not None:
         result["loops_closed"] = sys_.loop_closer.n_loops_closed
+        result["loops_rejected"] = sys_.loop_closer.n_loops_rejected
 
     gt_file = os.path.join(args.seq, "groundtruth.txt")
     if os.path.isfile(gt_file):

@@ -155,3 +155,36 @@ class TestMetricsStream:
         assert recs[0]["kf_inserted"]          # stereo-init KF0
         assert all(r["state"] == "OK" for r in recs)
         assert all(r["track_ms"] > 0 for r in recs)
+
+
+class TestScrubber:
+    def test_writes_pngs_and_html(self, tmp_path):
+        """Offline HTML scrubber — the step-by-step viewer analogue
+        (Viewer.cc:77-78,139-155; viz/scrubber.py)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from object_slam_tpu.viz.scrubber import Scrubber
+        from object_slam_tpu.slam.frame import FrameData
+        from object_slam_tpu.semantic.object2d import empty_slab
+        n = 8
+        frame = FrameData(
+            timestamp=jnp.float32(0.0),
+            uv_raw=jnp.asarray([[5.0, 5.0]] * n), uv=jnp.zeros((n, 2)),
+            ur=jnp.full((n,), -1.0), depth=jnp.full((n,), -1.0),
+            level=jnp.zeros(n, jnp.int32), angle=jnp.zeros(n),
+            response=jnp.ones(n), desc=jnp.zeros((n, 8), jnp.uint32),
+            valid=jnp.ones(n, bool), obj=empty_slab(2, 24, 32, n),
+            obj3d=jnp.full((2,), -1, jnp.int32),
+            kp_pt=jnp.full((n,), -1, jnp.int32),
+            Tcw=jnp.eye(4), pose_ok=jnp.array(True))
+        rgb = np.zeros((24, 32, 3), np.uint8)
+        sc = Scrubber(str(tmp_path / "viz"))
+        for i in range(3):
+            sc.add_frame(rgb, frame, state="OK", n_inliers=42, kfs=1)
+        page = sc.write()
+        import os
+        assert os.path.isfile(page)
+        html = open(page).read()
+        assert "frame_00002.png" == sorted(
+            p for p in os.listdir(tmp_path / "viz") if p.endswith("png"))[-1]
+        assert '"n_inliers": 42' in html and "ArrowRight" in html

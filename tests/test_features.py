@@ -182,3 +182,37 @@ class TestStereo:
         assert abs(np.median(d) - disparity) < 1.0
         z = np.asarray(depth)[np.asarray(ok)]
         assert abs(np.median(z) - bf / disparity) < 0.5
+
+
+class TestSelectionDeterminism:
+    def test_ulp_noise_does_not_flip_selection(self):
+        """Keypoint selection ranks on a quarter-intensity-quantized key
+        with index tie-breaks (_cell_topk), so tiny input perturbations
+        (resize ulp noise between runs) keep the SAME keypoint set —
+        the r2 VERDICT traced a 30-65 mm repeat-run ATE band to near-tie
+        argmax flips in selection."""
+        cfg = small_cfg()
+        ex = OrbExtractor(cfg, height=120, width=160)
+        img = textured_image(jax.random.PRNGKey(3), 120, 160)
+        noise = jax.random.uniform(jax.random.PRNGKey(4), img.shape,
+                                   minval=-1e-4, maxval=1e-4)
+        kp_a = ex(img)
+        kp_b = ex(img + noise)
+        a = {(int(round(float(y))), int(round(float(x))), int(l))
+             for (x, y), l, v in zip(np.asarray(kp_a.uv),
+                                     np.asarray(kp_a.level),
+                                     np.asarray(kp_a.valid)) if v}
+        b = {(int(round(float(y))), int(round(float(x))), int(l))
+             for (x, y), l, v in zip(np.asarray(kp_b.uv),
+                                     np.asarray(kp_b.level),
+                                     np.asarray(kp_b.valid)) if v}
+        inter = len(a & b)
+        assert inter >= 0.95 * max(len(a), len(b)), (len(a), len(b), inter)
+
+    def test_identical_input_identical_output(self):
+        cfg = small_cfg()
+        ex = OrbExtractor(cfg, height=120, width=160)
+        img = textured_image(jax.random.PRNGKey(5), 120, 160)
+        kp_a, kp_b = ex(img), ex(img)
+        assert np.array_equal(np.asarray(kp_a.uv), np.asarray(kp_b.uv))
+        assert np.array_equal(np.asarray(kp_a.desc), np.asarray(kp_b.desc))

@@ -121,3 +121,42 @@ class TestObject2D:
         assert abs(iou[0] - 1.0) < 1e-6
         assert abs(iou[1] - 50.0 / 150.0) < 1e-6
         assert iou[2] == 0.0
+
+
+class TestMaskPacking:
+    def test_roundtrip_vga_and_odd_width(self):
+        """Host->device mask transfer is bit-packed 8x (pack_mask_bits /
+        unpack_mask_bits, semantic/object2d.py) — the [16, 480, 640] bool
+        slab was the largest per-frame payload (VERDICT r2 item 1)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from object_slam_tpu.semantic.object2d import (pack_mask_bits,
+                                                       unpack_mask_bits)
+        rng = np.random.RandomState(0)
+        for w in (640, 1241, 157):
+            m = rng.rand(3, 32, w) > 0.5
+            p = pack_mask_bits(m)
+            assert p.dtype == np.uint8 and p.shape == (3, 32, (w + 7) // 8)
+            u = np.asarray(unpack_mask_bits(jnp.asarray(p), w))
+            assert np.array_equal(u, m)
+
+    def test_builder_accepts_bool_and_packed(self):
+        """FrameBuilder packs bool masks itself; pre-packed arrays pass
+        through (pack_sem_arrays is idempotent)."""
+        import numpy as np
+        from object_slam_tpu.config import SlamConfig, CameraConfig
+        from object_slam_tpu.slam.frame import FrameBuilder
+        cfg = SlamConfig(camera=CameraConfig(
+            width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+            dist=(0, 0, 0, 0, 0), bf=13.0, depth_map_factor=1.0))
+        b = FrameBuilder(cfg)
+        masks = np.zeros((2, 120, 160), bool)
+        masks[0, 40:80, 40:80] = True
+        sa = (masks, np.array([56, -1], np.int32),
+              np.array([0.9, 0.0], np.float32),
+              np.array([[40, 40, 40, 40], [0, 0, 0, 0]], np.float32),
+              np.array([True, False]))
+        packed = b.pack_sem_arrays(sa)
+        assert packed[0].dtype == np.uint8
+        repacked = b.pack_sem_arrays(packed)
+        assert repacked[0] is packed[0]

@@ -110,9 +110,12 @@ class TestObjectStability:
         accumulate constraints every tracked frame."""
         cfg = small_cfg(mask_margin=3, min_kps_rgbd=4)
         scene = SyntheticScene.make(cfg, seed=3, n_objects=2, plane_z=3.0)
-        for b in scene.boxes:
-            b['size'] = 1.0
-            b['center'][2] = 2.0
+        # place the boxes explicitly: the seeded random placement can
+        # stack one behind the other (later boxes win the ray ties), which
+        # starves the occluded detection of member keypoints
+        for k, b in enumerate(scene.boxes):
+            b['size'] = 0.8
+            b['center'] = np.array([(-0.75, 0.75)[k], 0.1, 2.0])
         poses = orbit_poses(8, step=0.008)
         sys_ = SlamSystem(cfg, enable_objects=True, enable_mapping=True)
         ids_per_frame = []
@@ -273,3 +276,31 @@ class TestStereoEndToEnd:
         assert sum(oks) >= len(poses) - 1, oks
         errs = np.asarray(errs)
         assert np.sqrt((errs ** 2).mean()) < 0.06, errs
+
+
+class TestKfPolicyUnification:
+    def test_fused_and_host_decisions_agree(self):
+        """kf_decision is the single policy source; the jnp-traced (fused
+        program) evaluation must equal the host int evaluation on the same
+        inputs (VERDICT r2 item 6 — round 2 had two diverging copies)."""
+        from object_slam_tpu.slam.tracking import kf_decision, \
+            need_new_keyframe
+        rng = np.random.RandomState(0)
+        for _ in range(200):
+            args = dict(
+                n_inliers=int(rng.randint(0, 1200)),
+                n_ref_matches=int(rng.randint(0, 1200)),
+                n_close_tracked=int(rng.randint(0, 300)),
+                n_close_untracked=int(rng.randint(0, 300)),
+                frames_since_kf=int(rng.randint(0, 40)),
+                max_frames=30,
+                last_kf_inliers=int(rng.randint(0, 1200)))
+            host = need_new_keyframe(**args)
+            dev = bool(kf_decision(
+                jnp.int32(args["n_inliers"]),
+                jnp.int32(args["n_ref_matches"]),
+                jnp.int32(args["n_close_tracked"]),
+                jnp.int32(args["n_close_untracked"]),
+                jnp.int32(args["frames_since_kf"]), 30,
+                last_kf_inliers=jnp.int32(args["last_kf_inliers"])))
+            assert host == dev, args
