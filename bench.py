@@ -169,17 +169,35 @@ def bench_full(n_frames: int = 40):
 
     def run(device_resident: bool):
         sys_ = SlamSystem(cfg, enable_objects=True, async_mapping=True)
-        staged = frames
+        dev = jax.devices()[0]
+
+        def stage(i):
+            """Issue the frame's host->device transfers ASYNC (device_put
+            returns immediately) — the double-buffered ingest pattern:
+            frame i+1's transfers ride under frame i's device compute
+            instead of serializing ahead of it. On the remote-tunnel
+            chip the serialized per-array puts alone cost ~19 ms/frame
+            (measured round 3)."""
+            d16, rgb8, sem = frames[i]
+            # sem[4] (the 16-bool valid row) STAYS host-side: build_rgbd
+            # branches on it, and reading it back from an in-flight
+            # device copy would stall the overlap this staging buys
+            return (jax.device_put(d16, dev), jax.device_put(rgb8, dev),
+                    tuple(jax.device_put(a, dev) for a in sem[:4])
+                    + (sem[4],))
+
+        staged = None
         if device_resident:
-            dev = jax.devices()[0]
-            staged = [(jax.device_put(d, dev), jax.device_put(r, dev), s)
-                      for d, r, s in frames]
+            staged = [stage(i) for i in range(len(frames))]
             jax.block_until_ready([x[0] for x in staged])
         times = []
-        for i, (d16, rgb8, sem) in enumerate(staged):
+        nxt = staged[0] if device_resident else stage(0)
+        for i in range(len(frames)):
             t0 = time.perf_counter()
-            f = sys_.track_rgbd(None, jnp.asarray(d16), jnp.asarray(rgb8),
-                                sem, timestamp=i / 30.0)
+            d16, rgb8, sem = nxt
+            if i + 1 < len(frames):
+                nxt = (staged[i + 1] if device_resident else stage(i + 1))
+            f = sys_.track_rgbd(None, d16, rgb8, sem, timestamp=i / 30.0)
             jnp.asarray(f.Tcw).block_until_ready()
             times.append(time.perf_counter() - t0)
         stats = _steady_stats(times)

@@ -109,9 +109,14 @@ def distance_transform(mask):
 def erode(mask, half: int):
     """Binary erosion by a (2*half)x(2*half) box — the vectorized form of the
     reference's "all pixels in the 20x20 window are 255" membership test
-    (Frame.cc:266-273; half=10)."""
+    (Frame.cc:266-273; half=10). Separable: a box min-window factors into
+    two 1-D passes (2x(2h) reads/px instead of (2h)^2 — measurably faster
+    at VGA)."""
     m = mask.astype(jnp.float32)
     out = jax.lax.reduce_window(
-        m, 1.0, jax.lax.min, (2 * half, 2 * half), (1, 1),
-        padding=[(half, half - 1), (half, half - 1)])
+        m, 1.0, jax.lax.min, (2 * half, 1), (1, 1),
+        padding=[(half, half - 1), (0, 0)])
+    out = jax.lax.reduce_window(
+        out, 1.0, jax.lax.min, (1, 2 * half), (1, 1),
+        padding=[(0, 0), (half, half - 1)])
     return out > 0.5

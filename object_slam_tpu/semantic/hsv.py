@@ -34,29 +34,46 @@ def rgb_to_hsv_cv(rgb):
     return jnp.stack([h / 2.0, s * 255.0, v * 255.0], axis=-1)
 
 
-def masked_hsv_histogram(hsv_img, mask):
-    """hsv_img [H, W, 3] (OpenCV ranges), mask [H, W] bool -> [94] L1-normed.
+def _bin_onehot(hsv_img):
+    """[H, W, 3] (OpenCV ranges) -> [H*W, 94] one-hot bin membership,
+    bf16 (exact for 0/1). Bin edges follow cv::calcHist with ranges
+    [0,180) / [0,256) / [0,256)."""
+    h = jnp.clip((hsv_img[..., 0].reshape(-1) / 180.0 * H_BINS)
+                 .astype(jnp.int32), 0, H_BINS - 1)
+    s = jnp.clip((hsv_img[..., 1].reshape(-1) / 256.0 * S_BINS)
+                 .astype(jnp.int32), 0, S_BINS - 1)
+    v = jnp.clip((hsv_img[..., 2].reshape(-1) / 256.0 * V_BINS)
+                 .astype(jnp.int32), 0, V_BINS - 1)
+    oh = jnp.concatenate([
+        (h[:, None] == jnp.arange(H_BINS)[None]),
+        (s[:, None] == jnp.arange(S_BINS)[None]),
+        (v[:, None] == jnp.arange(V_BINS)[None])], axis=-1)
+    return oh.astype(jnp.bfloat16)
 
-    Bin edges follow cv::calcHist with ranges [0,180) / [0,256) / [0,256).
-    """
-    m = mask.reshape(-1).astype(jnp.float32)
-    h = jnp.clip((hsv_img[..., 0].reshape(-1) / 180.0 * H_BINS).astype(jnp.int32),
-                 0, H_BINS - 1)
-    s = jnp.clip((hsv_img[..., 1].reshape(-1) / 256.0 * S_BINS).astype(jnp.int32),
-                 0, S_BINS - 1)
-    v = jnp.clip((hsv_img[..., 2].reshape(-1) / 256.0 * V_BINS).astype(jnp.int32),
-                 0, V_BINS - 1)
-    hh = jax.ops.segment_sum(m, h, num_segments=H_BINS)
-    hs = jax.ops.segment_sum(m, s, num_segments=S_BINS)
-    hv = jax.ops.segment_sum(m, v, num_segments=V_BINS)
-    hist = jnp.concatenate([hh, hs, hv])
-    return hist / jnp.maximum(jnp.sum(hist), 1e-9)
+
+def masked_hsv_histogram(hsv_img, mask):
+    """hsv_img [H, W, 3] (OpenCV ranges), mask [H, W] bool -> [94] L1-normed."""
+    return batched_histograms_hsv(hsv_img, mask[None])[0]
+
+
+def batched_histograms_hsv(hsv_img, masks):
+    """hsv image variant of batched_histograms: [H, W, 3] + [I, H, W].
+
+    MXU formulation: masks [I, HW] x bin-one-hot [HW, 94] as ONE matmul
+    (f32 accumulation — exact integer counts below 2^24). The previous
+    per-instance segment_sum lowering was 16 x 3 serialized scatters over
+    307k pixels — 20.9 ms/frame of the VGA objects-on frame build on the
+    v5e chip vs ~1 ms for the matmul (measured round 3)."""
+    I = masks.shape[0]
+    oh = _bin_onehot(hsv_img)                              # [HW, 94]
+    mf = masks.reshape(I, -1).astype(jnp.bfloat16)         # [I, HW]
+    hist = jnp.dot(mf, oh, preferred_element_type=jnp.float32)
+    return hist / jnp.maximum(jnp.sum(hist, axis=-1, keepdims=True), 1e-9)
 
 
 def batched_histograms(rgb_img, masks):
     """rgb [H, W, 3], masks [I, H, W] bool -> [I, 94]."""
-    hsv_img = rgb_to_hsv_cv(rgb_img)
-    return jax.vmap(lambda m: masked_hsv_histogram(hsv_img, m))(masks)
+    return batched_histograms_hsv(rgb_to_hsv_cv(rgb_img), masks)
 
 
 def cosine_similarity(a, b):

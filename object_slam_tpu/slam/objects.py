@@ -324,38 +324,57 @@ class ObjectEngine:
 
     def _reject_and_stats(self, m: MapState, matched_obj):
         """Per-object 3-sigma + cluster rejection on a compact point slab,
-        then centroid/AABB refresh (ObjectTypes.cc:55-168, 805-833)."""
+        then centroid/AABB refresh (ObjectTypes.cc:55-168, 805-833).
+
+        Only MATCHED objects are processed (the reference's Update() runs
+        only on the objects associated this frame, Tracking.cc:1079-1209):
+        a [<=I]-slot compaction of the matched ids replaces the round-2
+        vmap over the full J=64 slab, and the member-point slab compacts
+        by cumsum-scatter instead of a P-length top_k — together most of
+        the measured 6 ms/frame of the update stage on the v5e chip."""
         J = m.obj_valid.shape[0]
         P = m.pt_xyz.shape[0]
+        I = min(self.cfg.semantic.max_instances, J)
         cfg = self.cfg.objects
 
-        def per_object(j):
-            member = (m.pt_obj == j) & m.pt_valid
-            score = jnp.where(member, 1.0, 0.0)
-            _, idx = jax.lax.top_k(score, MAX_CLUSTER_POINTS)
-            ok = member[idx]
+        do_slot = matched_obj & m.obj_valid
+        _, oidx = jax.lax.top_k(jnp.where(do_slot, 1.0, 0.0), I)     # [I]
+        o_ok = do_slot[oidx]
+
+        def per_object(j, ok_j):
+            member = (m.pt_obj == j) & m.pt_valid & ok_j
+            # cumsum compaction: one pass over P, no sort
+            pos = jnp.cumsum(member.astype(jnp.int32)) - 1
+            in_slab = member & (pos < MAX_CLUSTER_POINTS)
+            slot = jnp.where(in_slab, pos, MAX_CLUSTER_POINTS)
+            idx = jnp.full((MAX_CLUSTER_POINTS + 1,), P - 1, jnp.int32) \
+                .at[slot].set(jnp.arange(P, dtype=jnp.int32),
+                              mode='drop')[:MAX_CLUSTER_POINTS]
+            n_member = jnp.sum(in_slab.astype(jnp.int32))
+            ok = jnp.arange(MAX_CLUSTER_POINTS) < n_member
             pts = m.pt_xyz[idx]
             w = ok.astype(jnp.float32)
             centroid = jnp.sum(pts * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)
             keep = _cluster_reject(pts, ok, centroid, self.tol,
                                    cfg.sigma_gate, cfg.small_cluster_frac,
                                    cfg.small_cluster_min_n)
-            do = matched_obj[j] & m.obj_valid[j]
-            drop_ids = jnp.where(ok & ~keep & do, idx, P - 1)
+            drop_ids = jnp.where(ok & ~keep & ok_j, idx, P - 1)
             w2 = keep.astype(jnp.float32)
             c2 = jnp.sum(pts * w2[:, None], 0) / jnp.maximum(jnp.sum(w2), 1.0)
             mn = jnp.min(jnp.where(keep[:, None], pts, jnp.inf), axis=0)
             mx = jnp.max(jnp.where(keep[:, None], pts, -jnp.inf), axis=0)
-            c_out = jnp.where(do, c2, m.obj_centroid[j])
-            b_out = jnp.where(do, jnp.concatenate([mn, mx]), m.obj_bbox[j])
-            return drop_ids, c_out, b_out
+            return drop_ids, c2, jnp.concatenate([mn, mx])
 
-        drop_ids, centroids, bboxes = jax.vmap(per_object)(jnp.arange(J))
+        drop_ids, centroids, bboxes = jax.vmap(per_object)(oidx, o_ok)
         pt_obj = m.pt_obj.at[drop_ids.reshape(-1)].set(
             jnp.where(drop_ids.reshape(-1) < P - 1, -1,
                       m.pt_obj[drop_ids.reshape(-1)]))
-        return m._replace(pt_obj=pt_obj, obj_centroid=centroids,
-                          obj_bbox=bboxes)
+        # scatter refreshed stats back to the matched slots only
+        osel = jnp.where(o_ok, oidx, J)
+        obj_centroid = m.obj_centroid.at[osel].set(centroids, mode='drop')
+        obj_bbox = m.obj_bbox.at[osel].set(bboxes, mode='drop')
+        return m._replace(pt_obj=pt_obj, obj_centroid=obj_centroid,
+                          obj_bbox=obj_bbox)
 
     def _regularize(self, m: MapState):
         """ObjectMapRegularization (Map.cc:47-157): merge same-label objects
