@@ -63,6 +63,7 @@ class LoopCloser:
         self.rng = jax.random.PRNGKey(42)
         self.n_loops_closed = 0
         self.n_loops_rejected = 0   # benefit-gate rollbacks (see _correct_loop)
+        self.events: List[dict] = []  # per-closure diagnostics (host-side)
         self._jit_quality = jax.jit(self._quality_impl)
         self._jit_bow = jax.jit(self._bow_impl)
         self._jit_detect = jax.jit(self._detect_impl)
@@ -442,6 +443,13 @@ class LoopCloser:
         """
         m_before = m
         q_before = self._jit_quality(m)
+        # correction the closure implies: measured Sim3 vs current
+        # estimated relative pose — the drift it claims to fix
+        Tq, Tl = np.asarray(m.kf_pose[q]), np.asarray(m.kf_pose[l])
+        D = np.asarray(T12) @ np.linalg.inv(Tq @ np.linalg.inv(Tl))
+        corr_trans = float(np.linalg.norm(D[:3, 3]))
+        corr_rot_deg = float(np.degrees(np.arccos(
+            np.clip((np.trace(D[:3, :3]) - 1) / 2, -1, 1))))
         m, T_old, _, s_init = self._jit_propagate(
             m, jnp.int32(q), jnp.int32(l), T12, jnp.float32(s12))
         m = self._jit_fuse(m, jnp.int32(q), jnp.int32(l))
@@ -451,7 +459,12 @@ class LoopCloser:
         q_after = self._jit_quality(m)
         qb, qa = (float(x) for x in np.asarray(
             jnp.stack([q_before, q_after])))
-        if qa > (qb * (1.0 + self.cfg.loop.benefit_gate_tolerance)
-                 + self.cfg.loop.benefit_gate_abs_floor):
+        accepted = qa <= (qb * (1.0 + self.cfg.loop.benefit_gate_tolerance)
+                          + self.cfg.loop.benefit_gate_abs_floor)
+        self.events.append(dict(
+            q=int(q), l=int(l), s12=float(s12),
+            corr_trans=corr_trans, corr_rot_deg=corr_rot_deg,
+            q_before=qb, q_after=qa, accepted=bool(accepted)))
+        if not accepted:
             return m_before, False
         return m, True

@@ -65,6 +65,20 @@ class _AsyncMapping:
         self.home = home_device
         self.pending = None
         self.pending_kf = -1
+        self._jit_merge = jax.jit(self._merge_impl)
+
+    @staticmethod
+    def _merge_impl(res, m_now, s_vis, s_found, s_lc, s_lt):
+        obj_fields = {f: getattr(m_now, f) for f in MapState._fields
+                      if f.startswith("obj_")}
+        return res._replace(
+            pt_visible=res.pt_visible + (m_now.pt_visible - s_vis),
+            pt_found=res.pt_found + (m_now.pt_found - s_found),
+            pt_label_cnt=res.pt_label_cnt + (m_now.pt_label_cnt - s_lc),
+            pt_label_tot=res.pt_label_tot + (m_now.pt_label_tot - s_lt),
+            pt_obj=jnp.where(res.pt_valid, m_now.pt_obj, -1),
+            n_obj=m_now.n_obj, next_track_id=m_now.next_track_id,
+            **obj_fields)
 
     def dispatch(self, m: MapState, kf_id: int):
         m_in = jax.device_put(m, self.device) if self.device else m
@@ -83,7 +97,9 @@ class _AsyncMapping:
 
     def merge(self, m_now: MapState) -> MapState:
         """Adopt the mapping result; overlay the tracker's in-flight
-        writes (additive counters + object ownership/slabs)."""
+        writes (additive counters + object ownership/slabs). One jitted
+        program — the eager form cost ~a dozen per-op dispatches on a
+        remote-attached chip."""
         if self.pending is None:
             return m_now
         res, s_vis, s_found, s_lc, s_lt = self.pending
@@ -91,16 +107,7 @@ class _AsyncMapping:
         self.pending_kf = -1
         if self.device is not None and self.home is not None:
             res = jax.device_put(res, self.home)
-        obj_fields = {f: getattr(m_now, f) for f in MapState._fields
-                      if f.startswith("obj_")}
-        return res._replace(
-            pt_visible=res.pt_visible + (m_now.pt_visible - s_vis),
-            pt_found=res.pt_found + (m_now.pt_found - s_found),
-            pt_label_cnt=res.pt_label_cnt + (m_now.pt_label_cnt - s_lc),
-            pt_label_tot=res.pt_label_tot + (m_now.pt_label_tot - s_lt),
-            pt_obj=jnp.where(res.pt_valid, m_now.pt_obj, -1),
-            n_obj=m_now.n_obj, next_track_id=m_now.next_track_id,
-            **obj_fields)
+        return self._jit_merge(res, m_now, s_vis, s_found, s_lc, s_lt)
 
 
 class SlamSystem:

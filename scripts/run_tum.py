@@ -102,7 +102,9 @@ def main():
 
     t0 = time.perf_counter()
     times = []
+    loop_times = []
     for i, fr in enumerate(frames):
+        ti0 = time.perf_counter()
         rgb, depth16, _ = pf.get(i)
         if rgb.ndim == 2:
             rgb = np.stack([rgb] * 3, -1)
@@ -125,6 +127,7 @@ def main():
                             n_inliers=int(getattr(sys_, "_last_n_inliers",
                                                   -1)),
                             kfs=sys_.n_keyframes, ref_kf=sys_.last_kf_id)
+        loop_times.append(time.perf_counter() - ti0)
         if i % 50 == 0:
             print(f"frame {i}/{len(frames)} kfs={sys_.n_keyframes} "
                   f"pts={sys_.n_points}")
@@ -149,16 +152,24 @@ def main():
             sys_.map.obj_label, sys_.map.obj_valid,
             sys_.objects.semantic_constraints)
 
+    lt = np.asarray(loop_times)
+    tt = np.asarray(times)
     result = {
         "frames": len(frames),
         "fps": len(frames) / total,
-        "median_track_ms": float(np.median(times) * 1e3),
+        "median_track_ms": float(np.median(tt) * 1e3),
+        # where the non-track loop time goes (prefetch get + sem array
+        # assembly + overlay dump): median and worst-case per frame
+        "median_overhead_ms": float(np.median(lt - tt) * 1e3),
+        "p90_frame_ms": float(np.percentile(lt, 90) * 1e3),
+        "max_frame_ms": float(np.max(lt) * 1e3),
         "keyframes": sys_.n_keyframes,
         "points": sys_.n_points,
     }
     if sys_.loop_closer is not None:
         result["loops_closed"] = sys_.loop_closer.n_loops_closed
         result["loops_rejected"] = sys_.loop_closer.n_loops_rejected
+        result["loop_events"] = sys_.loop_closer.events
 
     gt_file = os.path.join(args.seq, "groundtruth.txt")
     if os.path.isfile(gt_file):
