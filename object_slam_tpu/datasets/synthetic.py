@@ -219,11 +219,11 @@ class SyntheticScene:
             plane_z = float(bounds_hi[2])
             floor_y = 1.0 * scale
 
-            def _clear_of_path(c, size):
+            def _clear_of_path(c, size, margin=2.0):
                 if path is None:
                     return True
                 d = np.min(np.linalg.norm(pth - c[None, :], axis=1))
-                return d > size * 0.87 + 2.0
+                return d > size * 0.87 + margin
 
             def _lane_x(z):
                 """Path x at depth z (the drive may curve) so boxes line
@@ -248,10 +248,15 @@ class SyntheticScene:
             while len(boxes) < n_objects:
                 size = rng.uniform(0.4, 0.7) * scale
                 z = rng.uniform(z_lo + 2.0 * scale, z_hi * 0.8)
+                # parked close to the lane: object membership requires
+                # keypoint depth < ThDepth*baseline (Frame.cc:240-384
+                # gate, ~18.8 units at the KITTI calib), so a drive-by
+                # must bring the box inside that range while still in the
+                # field of view — wide lateral offsets never do
                 c = np.array([_lane_x(z) + rng.choice([-1, 1])
-                              * rng.uniform(0.8, 1.8) * scale,
+                              * rng.uniform(0.45, 1.0) * scale,
                               floor_y - size / 2, z])
-                if _clear_of_path(c, size):
+                if _clear_of_path(c, size, margin=1.0):
                     boxes.append(dict(center=c, size=size,
                                       label=old_labels[len(boxes)
                                                        % len(old_labels)],

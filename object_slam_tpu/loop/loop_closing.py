@@ -38,17 +38,25 @@ from object_slam_tpu.solvers.pose_graph import (PoseGraphProblem,
 
 
 _VOCAB_FILE = os.path.join(os.path.dirname(__file__), "vocab_synth.txt")
+_DEFAULT_VOCAB_CACHE: dict = {}
+# same-config closers share compiled kernels (see slam/frame.py rationale)
+_LOOP_JIT_CACHE: dict = {}
 
 
 def default_vocabulary(cfg) -> Vocabulary:
     """Corpus-trained vocabulary (scripts/train_vocab.py artifact, DBoW2
     text format — the analogue of the reference's ORBvoc.txt load at
     System.cc:69); falls back to the structure-only random tree when the
-    trained file is absent."""
-    if os.path.exists(_VOCAB_FILE):
-        return Vocabulary.load_dbow2_text(_VOCAB_FILE)
-    return Vocabulary.train_random(cfg.loop.vocab_branching,
-                                   cfg.loop.vocab_depth)
+    trained file is absent. Cached: parsing the 1.5 MB text per system
+    instance cost seconds each."""
+    key = (_VOCAB_FILE, cfg.loop.vocab_branching, cfg.loop.vocab_depth)
+    if key not in _DEFAULT_VOCAB_CACHE:
+        if os.path.exists(_VOCAB_FILE):
+            _DEFAULT_VOCAB_CACHE[key] = Vocabulary.load_dbow2_text(_VOCAB_FILE)
+        else:
+            _DEFAULT_VOCAB_CACHE[key] = Vocabulary.train_random(
+                cfg.loop.vocab_branching, cfg.loop.vocab_depth)
+    return _DEFAULT_VOCAB_CACHE[key]
 
 
 class LoopCloser:
@@ -64,18 +72,36 @@ class LoopCloser:
         self.n_loops_closed = 0
         self.n_loops_rejected = 0   # benefit-gate rollbacks (see _correct_loop)
         self.events: List[dict] = []  # per-closure diagnostics (host-side)
-        self._jit_quality = jax.jit(self._quality_impl)
-        self._jit_bow = jax.jit(self._bow_impl)
-        self._jit_detect = jax.jit(self._detect_impl)
-        self._jit_match_pairs = jax.jit(self._match_pairs_impl)
-        self._jit_sim3_gn = jax.jit(
-            lambda pc_q, pc_l, inl, T12, s12: sim3_solver.sim3_gn_refine(
-                self.K, pc_q, pc_l, inl, T12, s12,
-                fix_scale=self.fix_scale))
-        self._jit_propagate = jax.jit(self._propagate_impl)
-        self._jit_pose_graph = jax.jit(self._pose_graph_impl)
-        self._jit_fuse = jax.jit(self._fuse_loop_points_impl)
-        self._jit_gba = jax.jit(self._gba_impl)
+        # cache compiled kernels across same-config instances; a custom
+        # vocabulary (unknown equality) opts out of sharing
+        key = (repr(cfg), fix_scale,
+               "default" if vocab is None else id(self.vocab))
+        bundle = _LOOP_JIT_CACHE.get(key)
+        if bundle is None:
+            bundle = dict(
+                quality=jax.jit(self._quality_impl),
+                bow=jax.jit(self._bow_impl),
+                detect=jax.jit(self._detect_impl),
+                match_pairs=jax.jit(self._match_pairs_impl),
+                sim3_gn=jax.jit(
+                    lambda pc_q, pc_l, inl, T12, s12:
+                    sim3_solver.sim3_gn_refine(
+                        self.K, pc_q, pc_l, inl, T12, s12,
+                        fix_scale=self.fix_scale)),
+                propagate=jax.jit(self._propagate_impl),
+                pose_graph=jax.jit(self._pose_graph_impl),
+                fuse=jax.jit(self._fuse_loop_points_impl),
+                gba=jax.jit(self._gba_impl))
+            _LOOP_JIT_CACHE[key] = bundle
+        self._jit_quality = bundle["quality"]
+        self._jit_bow = bundle["bow"]
+        self._jit_detect = bundle["detect"]
+        self._jit_match_pairs = bundle["match_pairs"]
+        self._jit_sim3_gn = bundle["sim3_gn"]
+        self._jit_propagate = bundle["propagate"]
+        self._jit_pose_graph = bundle["pose_graph"]
+        self._jit_fuse = bundle["fuse"]
+        self._jit_gba = bundle["gba"]
 
     # ------------------------------------------------------------------
     def _bow_impl(self, m: MapState, kf_id):

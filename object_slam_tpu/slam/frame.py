@@ -78,6 +78,14 @@ def _to_metric_depth(depth_img, depth_map_factor):
     return _to_f32_image(depth_img)
 
 
+# Same-config FrameBuilder instances share one compiled pipeline set:
+# jax.jit keyed on a fresh bound method re-traces AND re-compiles per
+# instance, and the remote-attached TPU backend cannot reuse the on-disk
+# compilation cache — re-instantiating the system (bench A/B runs, test
+# suites, drivers) paid minutes of identical compiles (measured r3).
+_BUILDER_JIT_CACHE: dict = {}
+
+
 class FrameBuilder:
     """Owns the compiled extraction+assembly pipelines for one geometry.
 
@@ -89,13 +97,22 @@ class FrameBuilder:
     def __init__(self, cfg):
         self.cfg = cfg
         self.K = cam_mod.Intrinsics.from_config(cfg.camera)
-        self.extractor = OrbExtractor(cfg)
+        key = repr(cfg)
+        cached = _BUILDER_JIT_CACHE.get(key)
+        if cached is None:
+            self.extractor = OrbExtractor(cfg)
+            self._rgbd = jax.jit(self._build_rgbd)
+            self._rgbd_noobj = jax.jit(self._build_rgbd_noobj)
+            self._stereo = jax.jit(self._build_stereo)
+            self._mono = jax.jit(self._build_mono)
+            _BUILDER_JIT_CACHE[key] = (self.extractor, self._rgbd,
+                                       self._rgbd_noobj, self._stereo,
+                                       self._mono)
+        else:
+            (self.extractor, self._rgbd, self._rgbd_noobj, self._stereo,
+             self._mono) = cached
         self.inv_sigma2 = self.extractor.inv_level_sigma2()
         self.scale_factors = self.extractor.scale_factors()
-        self._rgbd = jax.jit(self._build_rgbd)
-        self._rgbd_noobj = jax.jit(self._build_rgbd_noobj)
-        self._stereo = jax.jit(self._build_stereo)
-        self._mono = jax.jit(self._build_mono)
 
     # ------------------------------------------------------------------
     def build_rgbd(self, gray, depth_img, rgb, sem_arrays, timestamp):

@@ -170,6 +170,11 @@ def _cluster_reject(pts, valid, centroid, tol: float,
     return keep
 
 
+# Same-config engines share compiled kernels (see frame.py rationale);
+# per-instance state (the semantic_constraints counter) stays per-object.
+_OBJ_JIT_CACHE: dict = {}
+
+
 class ObjectEngine:
     """Host-facing object subsystem; owns the jitted kernels."""
 
@@ -184,10 +189,17 @@ class ObjectEngine:
             (cfg.semantic.valid_labels_tum if cfg.indoor
              else cfg.semantic.valid_labels_kitti)[:N_LABEL_SLOTS])}
         self.semantic_constraints = 0  # N_AllSemanticConstraintNum analogue
-        self._jit_assoc = jax.jit(self._assoc_impl)
-        self._jit_update = jax.jit(self._update_impl)
-        self._jit_semopt = jax.jit(self._semopt_impl)
-        self._jit_semlocal = jax.jit(self._semlocal_impl)
+        key = repr(cfg)
+        cached = _OBJ_JIT_CACHE.get(key)
+        if cached is None:
+            cached = (jax.jit(self._assoc_impl), jax.jit(self._update_impl),
+                      jax.jit(self._semopt_impl),
+                      jax.jit(self._semlocal_impl),
+                      self._assoc_impl, self._update_impl, self._semopt_impl)
+            _OBJ_JIT_CACHE[key] = cached
+        (self._jit_assoc, self._jit_update, self._jit_semopt,
+         self._jit_semlocal, self.assoc_impl, self.update_impl,
+         self.semopt_impl) = cached
 
     # -- association ----------------------------------------------------
     def associate(self, m: MapState, frame: FrameData,

@@ -34,6 +34,10 @@ from object_slam_tpu.solvers.epnp import pnp_ransac
 
 NOT_INITIALIZED, OK, LOST = 0, 1, 2
 
+# config-keyed shared jit bundles (see __init__; frame.py has the full
+# rationale — per-instance jax.jit recompiles everything)
+_SYS_JIT_CACHE: dict = {}
+
 
 @dataclass
 class FrameRecord:
@@ -160,16 +164,35 @@ class SlamSystem:
         self.rng = jax.random.PRNGKey(0)
         self._host_ts = 0.0
 
-        self._jit_stereo_init = jax.jit(self._stereo_init_impl)
-        self._jit_motion = jax.jit(self._motion_impl)
-        self._jit_motion_vo = jax.jit(self._motion_vo_impl)
-        self._jit_refkf = jax.jit(self._refkf_impl)
-        self._jit_local = jax.jit(self._local_impl)
-        self._jit_insert = jax.jit(self._insert_impl)
-        self._jit_mapping = jax.jit(self._mapping_impl)
-        self._jit_reloc_try = jax.jit(self._reloc_try_impl)
-        self._jit_fused = jax.jit(self._fused_impl)
-        self._jit_kf_policy = jax.jit(self._kf_policy_impl)
+        # same-config systems share one compiled program set (see
+        # slam/frame.py rationale: per-instance jax.jit re-compiles, and
+        # the remote backend has no cross-process cache)
+        key = (repr(self.cfg), enable_objects,
+               self.loop_closer.vocab.n_words if self.loop_closer else 0)
+        bundle = _SYS_JIT_CACHE.get(key)
+        if bundle is None:
+            bundle = dict(
+                stereo_init=jax.jit(self._stereo_init_impl),
+                motion=jax.jit(self._motion_impl),
+                motion_vo=jax.jit(self._motion_vo_impl),
+                refkf=jax.jit(self._refkf_impl),
+                local=jax.jit(self._local_impl),
+                insert=jax.jit(self._insert_impl),
+                mapping=jax.jit(self._mapping_impl),
+                reloc_try=jax.jit(self._reloc_try_impl),
+                fused=jax.jit(self._fused_impl),
+                kf_policy=jax.jit(self._kf_policy_impl))
+            _SYS_JIT_CACHE[key] = bundle
+        self._jit_stereo_init = bundle["stereo_init"]
+        self._jit_motion = bundle["motion"]
+        self._jit_motion_vo = bundle["motion_vo"]
+        self._jit_refkf = bundle["refkf"]
+        self._jit_local = bundle["local"]
+        self._jit_insert = bundle["insert"]
+        self._jit_mapping = bundle["mapping"]
+        self._jit_reloc_try = bundle["reloc_try"]
+        self._jit_fused = bundle["fused"]
+        self._jit_kf_policy = bundle["kf_policy"]
         self._async = None
         if async_mapping:
             devs = jax.devices()
@@ -261,8 +284,8 @@ class SlamSystem:
         # + UpdateCurrentObject inline in Track(); Tracking.cc:453-545)
         hooks = None
         if self.objects is not None:
-            hooks = (self.objects._assoc_impl, self.objects._semopt_impl,
-                     self.objects._update_impl)
+            hooks = (self.objects.assoc_impl, self.objects.semopt_impl,
+                     self.objects.update_impl)
         return trk.track_frame_fused(
             self.K, m, frame, last, T_pred, last_kf_id, frames_since_kf,
             frame_id, last_kf_inliers,
