@@ -155,9 +155,12 @@ def bench_full(n_frames: int = 40):
 
     Objects ON and the fused one-sync-per-frame program engaged (round 3:
     the object association / semantic pose-opt / object update stages run
-    inside the same compiled chain — slam/tracking.track_frame_fused),
-    with async mapping as the operating mode (the LocalMapping-thread
-    analogue, VERDICT r2 item 5)."""
+    inside the same compiled chain — slam/tracking.track_frame_fused).
+    Mapping runs synchronously: on a single serialized device async
+    dispatch buys no throughput (3.4 vs 3.5 fps measured) and tracking
+    against pre-BA points costs ~2.5x ATE — async remains the operating
+    mode only when a second device absorbs the mapping stream
+    (BENCHMARKS.md records the A/B)."""
     import jax
     import jax.numpy as jnp
 
@@ -168,7 +171,7 @@ def bench_full(n_frames: int = 40):
     frames = _render_frames(cfg, n_frames)
 
     def run(device_resident: bool):
-        sys_ = SlamSystem(cfg, enable_objects=True, async_mapping=True)
+        sys_ = SlamSystem(cfg, enable_objects=True)
         dev = jax.devices()[0]
 
         def stage(i):

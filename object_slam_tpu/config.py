@@ -182,6 +182,14 @@ class LoopConfig:
     # test on numerical noise)
     benefit_gate_tolerance: float = 0.05
     benefit_gate_abs_floor: float = 0.01
+    # drift-budget gate: a genuine closure distributes its correction as
+    # a SMALL bend of each odometry edge; a wrong (aliased) Sim3 bends
+    # the whole trajectory hard — and reprojection metrics cannot see
+    # that (BA gauge freedom: points move with poses). Reject when the
+    # mean per-edge deformation exceeds these budgets (deg per edge /
+    # fraction of edge length).
+    max_edge_bend_deg: float = 0.3
+    max_edge_bend_frac: float = 0.05
 
 
 @dataclass(frozen=True)

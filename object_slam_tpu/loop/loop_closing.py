@@ -485,12 +485,53 @@ class LoopCloser:
         q_after = self._jit_quality(m)
         qb, qa = (float(x) for x in np.asarray(
             jnp.stack([q_before, q_after])))
-        accepted = qa <= (qb * (1.0 + self.cfg.loop.benefit_gate_tolerance)
-                          + self.cfg.loop.benefit_gate_abs_floor)
+        bend_deg, bend_frac = self._edge_deformation(m_before, m)
+        # gate 1: reprojection self-consistency must not degrade.
+        # gate 2: the drift budget — reprojection CANNOT see a globally
+        # bent-but-self-consistent map (gauge freedom: GBA moves points
+        # with poses), so bound how hard the correction bends each
+        # odometry edge. Measured r3: a false Sim3 (claimed 185 mm/5.2°
+        # on a 92 mm-ATE circuit) passed the reprojection gate with a
+        # BETTER map cost while bending edges 0.5°/edge — 8x the bend a
+        # genuine 58 mm closure needs.
+        accepted = (qa <= (qb * (1.0 + self.cfg.loop.benefit_gate_tolerance)
+                           + self.cfg.loop.benefit_gate_abs_floor)
+                    and bend_deg <= self.cfg.loop.max_edge_bend_deg
+                    and bend_frac <= self.cfg.loop.max_edge_bend_frac)
         self.events.append(dict(
             q=int(q), l=int(l), s12=float(s12),
             corr_trans=corr_trans, corr_rot_deg=corr_rot_deg,
-            q_before=qb, q_after=qa, accepted=bool(accepted)))
+            q_before=qb, q_after=qa,
+            bend_deg=bend_deg, bend_frac=bend_frac,
+            accepted=bool(accepted)))
         if not accepted:
             return m_before, False
         return m, True
+
+    @staticmethod
+    def _edge_deformation(m_before: MapState, m_after: MapState):
+        """MEDIAN per-odometry-edge change between the pre- and post-
+        correction trajectories: rotation (deg) and translation as a
+        fraction of edge length. Consecutive valid keyframes approximate
+        the odometry chain. Median, not mean: a genuine correction may
+        legitimately concentrate its whole deformation in a few edges
+        (drift absorbed at a relocalization jump), while a false Sim3
+        bends the majority of edges — the median separates exactly
+        those two shapes."""
+        kfv = np.asarray(m_before.kf_valid)
+        ids = np.nonzero(kfv)[0]
+        if len(ids) < 3:
+            return 0.0, 0.0
+        Tb = np.asarray(m_before.kf_pose)[ids].astype(np.float64)
+        Ta = np.asarray(m_after.kf_pose)[ids].astype(np.float64)
+        rot, frac = [], []
+        for i in range(len(ids) - 1):
+            rb = Tb[i] @ np.linalg.inv(Tb[i + 1])
+            ra = Ta[i] @ np.linalg.inv(Ta[i + 1])
+            e = ra @ np.linalg.inv(rb)
+            ang = np.degrees(np.arccos(
+                np.clip((np.trace(e[:3, :3]) - 1) / 2, -1, 1)))
+            edge_len = max(np.linalg.norm(rb[:3, 3]), 1e-6)
+            rot.append(ang)
+            frac.append(np.linalg.norm(e[:3, 3]) / edge_len)
+        return float(np.median(rot)), float(np.median(frac))

@@ -68,8 +68,7 @@ def main():
         frames = frames[:args.max_frames]
 
     rect = euroc.Rectifier(calib)
-    sys_ = SlamSystem(cfg, enable_objects=False, enable_loop=args.loop,
-                      async_mapping=True)
+    sys_ = SlamSystem(cfg, enable_objects=False, enable_loop=args.loop)
     pf = FramePrefetcher(n_workers=4, capacity=6)
     for i, fr in enumerate(frames):
         pf.submit(2 * i, fr.left_path)

@@ -132,12 +132,17 @@ def run_kitti(kitti_dir, max_frames=0):
         rgb = np.stack([gl] * 3, -1)
         sa = kitti.load_semantics(sem_dir, fr.index, cfg)
         tf0 = time.perf_counter()
-        sys_.track_stereo(jnp.asarray(gl), jnp.asarray(gr),
-                          jnp.asarray(rgb), sa, timestamp=fr.timestamp)
+        f = sys_.track_stereo(jnp.asarray(gl), jnp.asarray(gr),
+                              jnp.asarray(rgb), sa, timestamp=fr.timestamp)
         times.append(time.perf_counter() - tf0)
-        if i % 50 == 0:
-            print(f"kitti frame {i}/{len(frames)} kfs={sys_.n_keyframes}",
-                  flush=True)
+        if i % 10 == 0:
+            Twc = np.linalg.inv(np.asarray(f.Tcw))
+            err = (np.linalg.norm(Twc[:3, 3] - gt[i][:3, 3])
+                   if i < len(gt) else -1.0)
+            print(f"kitti f={i:3d} inl={getattr(sys_, '_last_n_inliers', -1):4d} "
+                  f"err={err:8.3f} kfs={sys_.n_keyframes} "
+                  f"det={int(np.asarray(f.obj.valid).sum())} "
+                  f"obj3d={np.asarray(f.obj3d)[:3].tolist()}", flush=True)
     total = time.perf_counter() - t0
 
     traj = sys_.final_trajectory()
@@ -183,6 +188,8 @@ def main():
                 ("t200_c", dict(enable_objects=True, async_mapping=True)),
                 ("t200_noobj", dict(enable_objects=False,
                                     async_mapping=True)),
+                ("t200_noobj_sync", dict(enable_objects=False,
+                                         async_mapping=False)),
                 ("t200_sync", dict(enable_objects=True,
                                    async_mapping=False)),
                 ("t200_loop", dict(enable_objects=True, async_mapping=True,

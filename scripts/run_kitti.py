@@ -38,10 +38,11 @@ def main():
                     help="external DBoW2-text vocabulary (ORBvoc.txt "
                          "format) for --loop; default: the shipped "
                          "corpus-trained vocab_synth.txt")
-    ap.add_argument("--sync-mapping", action="store_true",
-                    help="run keyframe mapping synchronously on the frame "
-                         "path (default: async, the LocalMapping-thread "
-                         "analogue — System.cc:95)")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="dispatch keyframe mapping asynchronously on a "
+                         "map snapshot (see run_tum.py --async-mapping: "
+                         "single-chip default is sync, measured A/B in "
+                         "BENCHMARKS.md)")
     ap.add_argument("--platform", default=None, choices=["cpu", "axon"],
                     help="force the JAX backend (config.update beats the "
                          "sitecustomized jax_platforms).")
@@ -65,7 +66,7 @@ def main():
 
     sys_ = SlamSystem(cfg, enable_objects=args.semantic_dir is not None,
                       enable_loop=args.loop, vocab_path=args.vocab,
-                      async_mapping=not args.sync_mapping)
+                      async_mapping=args.async_mapping)
     pf = FramePrefetcher(n_workers=4, capacity=6)
     for i, fr in enumerate(frames):
         pf.submit(2 * i, fr.left_path)

@@ -37,10 +37,14 @@ def main():
                     help="external DBoW2-text vocabulary (ORBvoc.txt "
                          "format) for --loop; default: the shipped "
                          "corpus-trained vocab_synth.txt")
-    ap.add_argument("--sync-mapping", action="store_true",
-                    help="run keyframe mapping synchronously on the frame "
-                         "path (default: async, the LocalMapping-thread "
-                         "analogue — System.cc:95)")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="dispatch keyframe mapping asynchronously on a "
+                         "map snapshot (the LocalMapping-thread analogue, "
+                         "System.cc:95). Default OFF on a single chip: the "
+                         "device stream is serial so async buys no fps "
+                         "(3.4 vs 3.5 measured) while tracking against "
+                         "pre-BA points costs ~2.5x ATE (BENCHMARKS.md); "
+                         "with a second device it runs truly parallel")
     ap.add_argument("--no-objects", action="store_true")
     ap.add_argument("--metrics", default=None,
                     help="write per-frame JSONL metrics to this path "
@@ -79,7 +83,7 @@ def main():
         metrics = MetricsStream(args.metrics)
     sys_ = SlamSystem(cfg, enable_objects=not args.no_objects,
                       enable_loop=args.loop, vocab_path=args.vocab,
-                      async_mapping=not args.sync_mapping,
+                      async_mapping=args.async_mapping,
                       metrics=metrics)
 
     # prefetch pipeline (native decode off the tracking thread)
