@@ -209,6 +209,14 @@ class SyntheticScene:
                                float(pth[:, 2].min()) - margin)
             bounds_hi[2] = max(float(corridor_len),
                                float(pth[:, 2].max()) + margin)
+            # road height: the KITTI camera rides ~1.65 m above the
+            # ground with a +-14.7 deg vertical FOV (376 px) — with the
+            # room's floor 1.0*scale (= 8 units) below the camera,
+            # ground-level objects drop out of frame at ~21 units and
+            # NEVER get close enough for the ThDepth membership gate
+            # (measured r3: zero object detections over a whole drive).
+            floor_y = 0.2 * scale
+            bounds_hi[1] = floor_y
             for s in surfaces:
                 if s['axis'] == 2:
                     s['offset'] = float(bounds_hi[2] if s['offset'] > 0
@@ -216,8 +224,9 @@ class SyntheticScene:
                 elif s['axis'] == 0:
                     s['offset'] = float(bounds_hi[0] if s['offset'] > 0
                                         else bounds_lo[0])
+                elif s['axis'] == 1 and s['offset'] > 0:
+                    s['offset'] = floor_y
             plane_z = float(bounds_hi[2])
-            floor_y = 1.0 * scale
 
             def _clear_of_path(c, size, margin=2.0):
                 if path is None:
@@ -246,7 +255,10 @@ class SyntheticScene:
             old_labels = [b['label'] for b in boxes]
             boxes = []
             while len(boxes) < n_objects:
-                size = rng.uniform(0.4, 0.7) * scale
+                # car-sized boxes (~1.5-2.4 units at scale 8): the room
+                # defaults are furniture-scale; a 5-unit cube on the road
+                # towers over the camera and clips the narrow vertical FOV
+                size = rng.uniform(0.18, 0.3) * scale
                 z = rng.uniform(z_lo + 2.0 * scale, z_hi * 0.8)
                 # parked close to the lane: object membership requires
                 # keypoint depth < ThDepth*baseline (Frame.cc:240-384
@@ -260,7 +272,8 @@ class SyntheticScene:
                     boxes.append(dict(center=c, size=size,
                                       label=old_labels[len(boxes)
                                                        % len(old_labels)],
-                                      tex=_smooth_texture(rng, 64)))
+                                      tex=_smooth_texture(rng, 256),
+                                      tex_density=3.0))
         rays = _undistort_grid(cam.height, cam.width, cam.fx, cam.fy,
                                cam.cx, cam.cy, cam.dist)
         return SyntheticScene(h=cam.height, w=cam.width,
@@ -352,10 +365,14 @@ class SyntheticScene:
         for i, b in enumerate(self.boxes):
             mask = hit_obj == i
             bt = b['tex']
+            # tex_density > 1 = finer surface detail (corridor cars: at
+            # 5-15 units the default texel projects to ~10 px and FAST
+            # finds no corners on the blur — zero object members)
+            td = b.get('tex_density', 1.0)
             img = np.where(mask,
-                           _tex_sample(bt, pts_w[..., 0] * bs,
-                                       pts_w[..., 1] * bs
-                                       + pts_w[..., 2] * zs), img)
+                           _tex_sample(bt, pts_w[..., 0] * bs * td,
+                                       (pts_w[..., 1] * bs
+                                        + pts_w[..., 2] * zs) * td), img)
 
         rgb = np.stack([img, img * 0.9, img * 0.8], axis=-1)
         # distinct hue per object for HSV association
