@@ -201,8 +201,14 @@ def bench_full(n_frames: int = 40):
             if i + 1 < len(frames):
                 nxt = (staged[i + 1] if device_resident else stage(i + 1))
             f = sys_.track_rgbd(None, d16, rgb8, sem, timestamp=i / 30.0)
-            jnp.asarray(f.Tcw).block_until_ready()
+            # NO per-frame block: the pipelined tracker self-paces — each
+            # call resolves the PREVIOUS frame's landed readback, so the
+            # loop can never run more than one frame ahead of the device.
+            # Blocking per frame would re-add the ~24 ms completion round
+            # trip the lagged-readback design exists to hide.
             times.append(time.perf_counter() - t0)
+        sys_.flush_mapping()
+        jax.block_until_ready(jnp.asarray(f.Tcw))
         stats = _steady_stats(times)
         stats["n_objects"] = int(np.sum(np.asarray(sys_.map.obj_valid)))
         stats["semantic_constraints"] = sys_.objects.semantic_constraints

@@ -138,6 +138,10 @@ class TrackingConfig:
     motion_model_radius: float = 15.0    # projection search window th (stereo 7)
     min_init_matches: int = 100          # mono two-view bootstrap gate
     min_init_inliers: int = 50           # triangulated-inlier gate
+    # one-frame-lagged fused readback (slam/system._track_fused): hides
+    # the per-frame device->host round trip (~24 ms on a remote-attached
+    # chip). False = strict one-sync-per-frame state machine.
+    pipelined_readback: bool = True
 
 
 @dataclass(frozen=True)

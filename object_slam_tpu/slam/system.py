@@ -163,6 +163,7 @@ class SlamSystem:
         self.trajectory: List[FrameRecord] = []
         self.rng = jax.random.PRNGKey(0)
         self._host_ts = 0.0
+        self._fused_pending = None   # lagged fused readback (see _track_fused)
 
         # same-config systems share one compiled program set (see
         # slam/frame.py rationale: per-instance jax.jit re-compiles, and
@@ -411,6 +412,11 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _track(self, frame: FrameData):
         cfg = self.cfg
+        # fold in the previous fused frame's lagged result FIRST: its
+        # host->device copy landed while this frame was built, so the
+        # read is ~free, and the state machine (KF insertion, LOST)
+        # catches up before this frame routes
+        self._resolve_fused_pending()
         if self.state == NOT_INITIALIZED:
             n_depth = int(jnp.sum((frame.depth > 0) & frame.valid))
             if n_depth > 100:
@@ -651,10 +657,18 @@ class SlamSystem:
         """Latency-optimal per-frame path (mapping on): the whole tracking
         chain — including the object association / semantic pose opt /
         object update stages when objects are enabled — runs as ONE device
-        program and the host syncs on ONE packed vector — see
-        trk.track_frame_fused. Keyframe insertion/mapping adds work only
-        on KF frames."""
-        cfg = self.cfg
+        program, and the packed host-facing vector is read back ONE FRAME
+        LATE: a device->host readback on a remote-attached chip costs a
+        full tunnel round trip (~24 ms measured — more than the whole
+        fused program), but `copy_to_host_async` issued at dispatch lands
+        while the NEXT frame builds, making the lagged read ~free. All
+        host bookkeeping for a frame (records, state machine, keyframe
+        insertion, relocalization) happens in _resolve_fused_pending at
+        the next call. The returned frame's pose_ok is a DEVICE scalar:
+        callers that need the strict per-frame answer (tests, interactive
+        probes) force the sync themselves by reading it; the throughput
+        path never does. cfg.tracking.pipelined_readback=False restores
+        the strict one-sync-per-frame behavior."""
         last = self.last_frame
         T_pred = jnp.asarray(self.velocity) @ last.Tcw
         with self.profiler.span("track.fused"):
@@ -663,7 +677,40 @@ class SlamSystem:
                 jnp.int32(max(self.last_kf_id, 0)),
                 jnp.int32(self.frames_since_kf), jnp.int32(self.frame_id),
                 jnp.int32(getattr(self, "_kf_inliers", 0)))
-            p = np.asarray(packed)          # the ONE host sync
+        if self.objects is not None:
+            frame = frame._replace(obj3d=obj3d)
+        frame = frame._replace(Tcw=tr2.Tcw, kp_pt=tr2.kp_pt,
+                               pose_ok=packed[48] > 0.5)
+        self.debug_last = {"tr_motion": tr2, "tr_local": tr2,
+                           "T_pred": T_pred, "frame": frame}
+        # velocity provisionally advances on-device; a LOST/reloc outcome
+        # resets it during resolve, before the next dispatch reads it
+        self.velocity = tr2.Tcw @ se3.inverse(last.Tcw)
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._fused_pending = {"packed": packed, "frame": frame,
+                               "ts": self._host_ts}
+        self.last_frame = frame
+        self.frame_id += 1
+        if not self.cfg.tracking.pipelined_readback:
+            self._resolve_fused_pending()
+            return self.last_frame
+        return frame
+
+    def _resolve_fused_pending(self):
+        """Consume the lagged packed result of the last fused dispatch —
+        the per-frame host bookkeeping (trajectory record, state machine,
+        KF insertion + mapping + loop detection, relocalization)."""
+        pend = self._fused_pending
+        if pend is None:
+            return
+        self._fused_pending = None
+        cfg = self.cfg
+        frame = pend["frame"]
+        with self.profiler.span("track.resolve"):
+            p = np.asarray(pend["packed"])
         Tcw_np = p[0:16].reshape(4, 4)
         ok = p[48] > 0.5
         need_kf = p[49] > 0.5
@@ -671,37 +718,28 @@ class SlamSystem:
         self._last_n_inliers = n_inl
         if self.objects is not None:
             # N_AllSemanticConstraintNum analogue, from the same packed
-            # sync (ObjectOptimizer.cc:23,1233)
+            # readback (ObjectOptimizer.cc:23,1233)
             self.objects.semantic_constraints += int(p[56])
-            frame = frame._replace(obj3d=obj3d)
 
         if not ok and n_inl < 10:
             tr_rel = self._relocalize(frame)
             if tr_rel is None:
                 self.state = LOST
-                frame = frame._replace(Tcw=last.Tcw)
-                self._record_np(self._host_ts, np.asarray(last.Tcw),
-                                False)
+                self.velocity = np.eye(4, dtype=np.float32)
+                self._record_np(pend["ts"], Tcw_np, False)
                 self.last_frame = frame
-                self.frame_id += 1
-                return frame
-            tr2 = tr_rel
-            Tcw_np = np.asarray(tr2.Tcw)
+                return
+            frame = frame._replace(Tcw=tr_rel.Tcw, kp_pt=tr_rel.kp_pt)
+            Tcw_np = np.asarray(tr_rel.Tcw)
             ok, need_kf = True, False
             self.velocity = np.eye(4, dtype=np.float32)
-        elif ok:
-            self.velocity = p[16:32].reshape(4, 4)
+            n_inl = int(tr_rel.n_inliers)
 
         self.state = OK if ok else LOST
-        frame = frame._replace(Tcw=tr2.Tcw, kp_pt=tr2.kp_pt,
-                               pose_ok=jnp.asarray(bool(ok)))
-        self.debug_last = {"tr_motion": tr2, "tr_local": tr2,
-                           "T_pred": T_pred, "frame": frame}
-
         if ok and need_kf:
             close = frame.valid & (frame.depth > 0) & (
                 frame.depth < cfg.camera.th_depth * cfg.camera.baseline)
-            spawn = close & (tr2.kp_pt < 0)
+            spawn = close & (frame.kp_pt < 0)
             if self._async is not None and self._async.pending:
                 merged_kf = self._async.pending_kf
                 self.map = self._async.merge(self.map)
@@ -709,7 +747,7 @@ class SlamSystem:
                     self.map, _ = self.loop_closer.on_keyframe(
                         self.map, merged_kf)
             self.map, kf_id = self._jit_insert(
-                self.map, frame, tr2.Tcw, tr2.kp_pt, spawn)
+                self.map, frame, frame.Tcw, frame.kp_pt, spawn)
             frame = frame._replace(kp_pt=self.map.kf_kp_pt[int(kf_id)])
             self.last_kf_id = int(kf_id)
             self.frames_since_kf = 0
@@ -723,19 +761,16 @@ class SlamSystem:
                     with self.profiler.span("loop.on_keyframe"):
                         self.map, _ = self.loop_closer.on_keyframe(
                             self.map, int(kf_id))
-            self._record_np(self._host_ts, Tcw_np, True)
+            self._record_np(pend["ts"], Tcw_np, True)
+        elif ok:
+            self.frames_since_kf += 1
+            # Tcr came back in the same packed readback — record with NO
+            # extra device traffic
+            self._record_precomputed(pend["ts"], Tcw_np,
+                                     p[32:48].reshape(4, 4), True)
         else:
-            if ok:
-                self.frames_since_kf += 1
-                # Tcr came back in the same packed sync — record with NO
-                # extra device traffic
-                self._record_precomputed(self._host_ts, Tcw_np,
-                                         p[32:48].reshape(4, 4), True)
-            else:
-                self._record_np(self._host_ts, Tcw_np, False)
+            self._record_np(pend["ts"], Tcw_np, False)
         self.last_frame = frame
-        self.frame_id += 1
-        return frame
 
     def _record_precomputed(self, timestamp, Tcw_np, Tcr_np, tracked):
         self.trajectory.append(FrameRecord(
@@ -822,6 +857,7 @@ class SlamSystem:
         """Fold any in-flight async mapping pass into the live map (the
         Shutdown-time thread join analogue) — without this the last
         keyframe's triangulation/BA would be dropped on save."""
+        self._resolve_fused_pending()
         if self._async is not None and self._async.pending:
             merged_kf = self._async.pending_kf
             self.map = self._async.merge(self.map)
@@ -860,6 +896,7 @@ class SlamSystem:
     def activate_localization_mode(self):
         """Tracking-only: stop inserting keyframes / mutating the map
         (System::ActivateLocalizationMode, System.cc:133-150)."""
+        self._resolve_fused_pending()
         self.enable_mapping = False
 
     def deactivate_localization_mode(self):
@@ -886,9 +923,12 @@ class SlamSystem:
         self.frames_since_kf = 0
         self.trajectory = []
         self._mono_ref = None
+        self._fused_pending = None
 
     def get_tracking_state(self) -> int:
-        """NOT_INITIALIZED=0 / OK=1 / LOST=2 (Tracking.h:99-105)."""
+        """NOT_INITIALIZED=0 / OK=1 / LOST=2 (Tracking.h:99-105). Forces
+        the lagged fused readback so the answer reflects the last frame."""
+        self._resolve_fused_pending()
         return self.state
 
     def shutdown(self, checkpoint_path: Optional[str] = None):
@@ -901,8 +941,10 @@ class SlamSystem:
 
     @property
     def n_keyframes(self):
+        self._resolve_fused_pending()
         return int(self.map.n_kf)
 
     @property
     def n_points(self):
+        self._resolve_fused_pending()
         return int(jnp.sum(self.map.pt_valid))
