@@ -225,7 +225,14 @@ class SyntheticScene:
                     s['offset'] = float(bounds_hi[0] if s['offset'] > 0
                                         else bounds_lo[0])
                 elif s['axis'] == 1 and s['offset'] > 0:
+                    # the ROAD: with the camera 1.6 units up, nearby
+                    # asphalt projects the default texel to ~25 px — no
+                    # FAST corners, no close points, no translation
+                    # observability. 4x denser texture gives the near
+                    # field road detail (far ground compresses toward the
+                    # horizon and matters little).
                     s['offset'] = floor_y
+                    s['tex_density'] = 4.0
             plane_z = float(bounds_hi[2])
 
             def _clear_of_path(c, size, margin=2.0):
@@ -251,7 +258,8 @@ class SyntheticScene:
                               floor_y - size / 2, z])
                 if _clear_of_path(c, size):
                     structures.append(dict(center=c, size=size,
-                                           tex=_smooth_texture(rng, 64)))
+                                           tex=_smooth_texture(rng, 128),
+                                           tex_density=2.0))
             old_labels = [b['label'] for b in boxes]
             boxes = []
             while len(boxes) < n_objects:
@@ -347,10 +355,11 @@ class SyntheticScene:
             mask = surf_id == si
             if not mask.any():
                 continue
+            sd = self.uv_scale * s.get('tex_density', 1.0)
             img = np.where(mask,
                            _tex_sample(s['tex'],
-                                       pts_w[..., s['uax']] * self.uv_scale,
-                                       pts_w[..., s['vax']] * self.uv_scale),
+                                       pts_w[..., s['uax']] * sd,
+                                       pts_w[..., s['vax']] * sd),
                            img)
         bs = 1.25 * self.uv_scale
         zs = 0.75 * self.uv_scale
@@ -358,10 +367,11 @@ class SyntheticScene:
             mask = hit_struct == i
             if not mask.any():
                 continue
+            td = b.get('tex_density', 1.0)
             img = np.where(mask,
-                           _tex_sample(b['tex'], pts_w[..., 0] * bs,
-                                       pts_w[..., 1] * bs
-                                       + pts_w[..., 2] * zs), img)
+                           _tex_sample(b['tex'], pts_w[..., 0] * bs * td,
+                                       (pts_w[..., 1] * bs
+                                        + pts_w[..., 2] * zs) * td), img)
         for i, b in enumerate(self.boxes):
             mask = hit_obj == i
             bt = b['tex']

@@ -277,7 +277,7 @@ class SlamSystem:
         return trk.relocalize_try(self.K, m, frame, kf_id, rng,
                                   self.scale_factors, self.inv_sigma2)
 
-    def _fused_impl(self, m, frame, last, T_pred, last_kf_id,
+    def _fused_impl(self, m, frame, last, velocity, last_kf_id,
                     frames_since_kf, frame_id, last_kf_inliers):
         cfg = self.cfg
         # object stages fold into the SAME one-sync program when objects
@@ -288,7 +288,7 @@ class SlamSystem:
             hooks = (self.objects.assoc_impl, self.objects.semopt_impl,
                      self.objects.update_impl)
         return trk.track_frame_fused(
-            self.K, m, frame, last, T_pred, last_kf_id, frames_since_kf,
+            self.K, m, frame, last, velocity, last_kf_id, frames_since_kf,
             frame_id, last_kf_inliers,
             self.scale_factors, self.inv_sigma2, self.log_scale,
             motion_radius=cfg.tracking.motion_model_radius,
@@ -670,22 +670,22 @@ class SlamSystem:
         path never does. cfg.tracking.pipelined_readback=False restores
         the strict one-sync-per-frame behavior."""
         last = self.last_frame
-        T_pred = jnp.asarray(self.velocity) @ last.Tcw
         with self.profiler.span("track.fused"):
-            self.map, tr2, obj3d, packed = self._jit_fused(
-                self.map, frame, last, T_pred,
+            self.map, tr2, obj3d, packed, vel, okd = self._jit_fused(
+                self.map, frame, last, jnp.asarray(self.velocity),
                 jnp.int32(max(self.last_kf_id, 0)),
                 jnp.int32(self.frames_since_kf), jnp.int32(self.frame_id),
                 jnp.int32(getattr(self, "_kf_inliers", 0)))
         if self.objects is not None:
             frame = frame._replace(obj3d=obj3d)
-        frame = frame._replace(Tcw=tr2.Tcw, kp_pt=tr2.kp_pt,
-                               pose_ok=packed[48] > 0.5)
+        frame = frame._replace(Tcw=tr2.Tcw, kp_pt=tr2.kp_pt, pose_ok=okd)
         self.debug_last = {"tr_motion": tr2, "tr_local": tr2,
-                           "T_pred": T_pred, "frame": frame}
-        # velocity provisionally advances on-device; a LOST/reloc outcome
-        # resets it during resolve, before the next dispatch reads it
-        self.velocity = tr2.Tcw @ se3.inverse(last.Tcw)
+                           "frame": frame}
+        # velocity provisionally advances as a DEVICE output of the same
+        # program (zero eager per-frame ops — each eager op is a dispatch
+        # RPC on a remote chip); a LOST/reloc outcome resets it during
+        # resolve, before the next dispatch reads it
+        self.velocity = vel
         try:
             packed.copy_to_host_async()
         except AttributeError:

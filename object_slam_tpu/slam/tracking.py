@@ -375,7 +375,7 @@ def _tree_where(pred, a, b):
 
 
 def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
-                      T_pred, last_kf_id, frames_since_kf, frame_id,
+                      velocity, last_kf_id, frames_since_kf, frame_id,
                       last_kf_inliers,
                       scale_factors, inv_sigma2_lvl, log_scale: float,
                       motion_radius: float, close_depth: float,
@@ -415,7 +415,14 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
       packed[52]    ref_kf           packed[53] n_close_tracked
       packed[54]    n_close_untracked  packed[55] motion n_inliers
       packed[56]    n_semantic_constraints (0 without obj_hooks)
+
+    Returns (m, TrackResult, obj3d, packed, vel, ok): vel and ok are
+    DEVICE outputs so the host state machine advances with zero eager
+    per-frame ops (each eager op is a dispatch RPC on a remote chip);
+    velocity (the input) is last frame's vel, and the motion prediction
+    T_pred = velocity @ last.Tcw folds into the program.
     """
+    T_pred = velocity @ last.Tcw
     # --- stage A: motion model, wide-window retry on thin matches
     tr = track_motion_model(
         K, m, frame, last.uv, last.kp_pt, last.level, last.valid,
@@ -532,7 +539,7 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
                    n_close_untrk.astype(jnp.float32),
                    tr_motion_inl.astype(jnp.float32),
                    n_sem.astype(jnp.float32)])])
-    return m, tr2, obj3d_out, packed
+    return m, tr2, obj3d_out, packed, vel, ok
 
 
 # ---------------------------------------------------------------------------
