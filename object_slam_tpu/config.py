@@ -190,8 +190,10 @@ class LoopConfig:
     # a SMALL bend of each odometry edge; a wrong (aliased) Sim3 bends
     # the whole trajectory hard — and reprojection metrics cannot see
     # that (BA gauge freedom: points move with poses). Reject when the
-    # mean per-edge deformation exceeds these budgets (deg per edge /
-    # fraction of edge length).
+    # MEDIAN per-edge deformation exceeds these budgets (deg per edge /
+    # fraction of edge length). The effective budget scales up with the
+    # claimed correction magnitude over the edge count (loop_closing.
+    # _correct_loop), so large genuine corrections on short loops pass.
     max_edge_bend_deg: float = 0.3
     max_edge_bend_frac: float = 0.05
 

@@ -240,6 +240,20 @@ class Vocabulary:
     def transform(self, desc, valid):
         return self._transform(desc, valid)
 
+    def content_key(self) -> str:
+        """Stable digest of the tree content, for jit-cache keys: id()-
+        based keys are only collision-safe while the cache itself pins
+        the object alive (ADVICE r3)."""
+        if getattr(self, "_content_key", None) is None:
+            import hashlib
+            import numpy as _np
+            h = hashlib.sha1()
+            for c in self.centers:
+                h.update(_np.asarray(c).tobytes())
+            h.update(_np.asarray(self.idf).tobytes())
+            self._content_key = h.hexdigest()
+        return self._content_key
+
 
 def l1_score(bow_a, bow_b):
     """DBoW2 L1 similarity: 1 - 0.5 * ||a - b||_1 for L1-normalized inputs.

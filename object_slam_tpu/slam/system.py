@@ -35,8 +35,131 @@ from object_slam_tpu.solvers.epnp import pnp_ransac
 NOT_INITIALIZED, OK, LOST = 0, 1, 2
 
 # config-keyed shared jit bundles (see __init__; frame.py has the full
-# rationale — per-instance jax.jit recompiles everything)
+# rationale — per-instance jax.jit recompiles everything). The cache
+# stores _SystemKernels objects, which hold ONLY config-derived constants:
+# jitting bound SlamSystem methods would pin the first instance — and its
+# final HBM map slabs — in this module-level cache forever (ADVICE r3).
 _SYS_JIT_CACHE: dict = {}
+
+
+class _SystemKernels:
+    """The compiled per-frame/per-keyframe program set for one config.
+
+    Every jitted callable closes over nothing but camera intrinsics,
+    pyramid constants, and the (equally constants-only) ObjectEngine
+    kernels — safe to share across SlamSystem instances and to outlive
+    them all."""
+
+    def __init__(self, cfg: SlamConfig, K, scale_factors, inv_sigma2,
+                 log_scale: float, objects: Optional[ObjectEngine]):
+        self.cfg = cfg
+        self.K = K
+        self.scale_factors = scale_factors
+        self.inv_sigma2 = inv_sigma2
+        self.log_scale = log_scale
+        self.objects = objects
+        self.stereo_init = jax.jit(self._stereo_init_impl)
+        self.motion = jax.jit(self._motion_impl)
+        self.motion_vo = jax.jit(self._motion_vo_impl)
+        self.refkf = jax.jit(self._refkf_impl)
+        self.local = jax.jit(self._local_impl)
+        self.insert = jax.jit(self._insert_impl)
+        self.mapping = jax.jit(self._mapping_impl)
+        self.reloc_try = jax.jit(self._reloc_try_impl)
+        self.fused = jax.jit(self._fused_impl)
+        self.kf_policy = jax.jit(self._kf_policy_impl)
+
+    def _kf_policy_impl(self, m, depth, kp_pt, valid, last_kf, min_obs):
+        """All keyframe-policy scalars (Tracking.cc:1242-1326 inputs) in
+        ONE device program -> int32[3], so the host pays a single round
+        trip instead of three (the remote-attached-chip profile showed
+        each separate int() pull costing a full network RTT)."""
+        cam = self.cfg.camera
+        close = (depth > 0) & (depth < cam.th_depth * cam.baseline)
+        tracked = kp_pt >= 0
+        n_close_trk = jnp.sum(close & tracked & valid)
+        n_close_untrk = jnp.sum(close & ~tracked & valid)
+        # reference tracked points with >= nMinObs observations
+        # (Tracking.cc:1261-1266)
+        ref_pt = m.kf_kp_pt[last_kf]
+        P = m.pt_xyz.shape[0]
+        ref_matches = jnp.sum(
+            (ref_pt >= 0)
+            & (m.pt_n_obs[jnp.clip(ref_pt, 0, P - 1)] >= min_obs)
+            & m.pt_valid[jnp.clip(ref_pt, 0, P - 1)])
+        return jnp.stack([n_close_trk, n_close_untrk,
+                          ref_matches]).astype(jnp.int32)
+
+    def _stereo_init_impl(self, m, frame):
+        create = frame.valid & (frame.depth > 0)
+        m, kf_id = map_ops.insert_keyframe(
+            self.K, m, frame, jnp.eye(4), self.scale_factors, create)
+        kp_pt = m.kf_kp_pt[kf_id]
+        return m, kf_id, kp_pt
+
+    def _motion_impl(self, m, frame, last_uv, last_pt, last_level,
+                     last_valid, T_pred, radius, T_last):
+        return trk.track_motion_model(
+            self.K, m, frame, last_uv, last_pt, last_level, last_valid,
+            T_pred, self.scale_factors, self.inv_sigma2, radius_th=radius,
+            T_last=T_last)
+
+    def _motion_vo_impl(self, m, frame, last, T_pred):
+        return trk.track_motion_model_vo(
+            self.K, m, frame, last, T_pred, self.scale_factors,
+            self.inv_sigma2)
+
+    def _refkf_impl(self, m, frame, ref_kf, T0):
+        return trk.track_reference_kf(self.K, m, frame, ref_kf, T0,
+                                      self.inv_sigma2)
+
+    def _local_impl(self, m, frame, tr, T_last):
+        return trk.track_local_map(self.K, m, frame, tr,
+                                   self.scale_factors, self.inv_sigma2,
+                                   self.log_scale, T_last=T_last)
+
+    def _insert_impl(self, m, frame, Tcw, kp_pt, close_mask):
+        frame = frame._replace(kp_pt=kp_pt)
+        # CreateNewKeyFrame spawns all close untracked points AND tops up
+        # with the nearest untracked points to >= 100 regardless of the
+        # depth threshold (Tracking.cc:1352-1396 sorts by depth and keeps
+        # inserting past thDepth until 100) — without the top-up, scenes
+        # whose structure sits beyond thDepth starve the map.
+        untracked = frame.valid & (frame.depth > 0) & (kp_pt < 0)
+        depth_key = jnp.where(untracked, -frame.depth, -jnp.inf)
+        N = frame.depth.shape[0]
+        _, nearest = jax.lax.top_k(depth_key, min(100, N))
+        topup = jnp.zeros((N,), bool).at[nearest].set(True) & untracked
+        spawn = close_mask | topup
+        return map_ops.insert_keyframe(self.K, m, frame, Tcw,
+                                       self.scale_factors, spawn)
+
+    def _mapping_impl(self, m, kf_id):
+        return local_mapping.process_new_keyframe(
+            self.K, m, kf_id, self.scale_factors, self.inv_sigma2, self.cfg)
+
+    def _reloc_try_impl(self, m, frame, kf_id, rng):
+        return trk.relocalize_try(self.K, m, frame, kf_id, rng,
+                                  self.scale_factors, self.inv_sigma2)
+
+    def _fused_impl(self, m, frame, last, velocity, last_kf_id,
+                    frames_since_kf, frame_id, last_kf_inliers):
+        cfg = self.cfg
+        # object stages fold into the SAME one-sync program when objects
+        # are enabled (the reference runs TrackObject + PoseOptimization2
+        # + UpdateCurrentObject inline in Track(); Tracking.cc:453-545)
+        hooks = None
+        if self.objects is not None:
+            hooks = (self.objects.assoc_impl, self.objects.semopt_impl,
+                     self.objects.update_impl)
+        return trk.track_frame_fused(
+            self.K, m, frame, last, velocity, last_kf_id, frames_since_kf,
+            frame_id, last_kf_inliers,
+            self.scale_factors, self.inv_sigma2, self.log_scale,
+            motion_radius=cfg.tracking.motion_model_radius,
+            close_depth=cfg.camera.th_depth * cfg.camera.baseline,
+            max_frames_between_kf=cfg.tracking.max_frames_between_kf,
+            obj_hooks=hooks)
 
 
 @dataclass
@@ -167,134 +290,33 @@ class SlamSystem:
 
         # same-config systems share one compiled program set (see
         # slam/frame.py rationale: per-instance jax.jit re-compiles, and
-        # the remote backend has no cross-process cache)
+        # the remote backend has no cross-process cache). The cached
+        # object is a constants-only _SystemKernels — never this instance.
         key = (repr(self.cfg), enable_objects,
                self.loop_closer.vocab.n_words if self.loop_closer else 0)
-        bundle = _SYS_JIT_CACHE.get(key)
-        if bundle is None:
-            bundle = dict(
-                stereo_init=jax.jit(self._stereo_init_impl),
-                motion=jax.jit(self._motion_impl),
-                motion_vo=jax.jit(self._motion_vo_impl),
-                refkf=jax.jit(self._refkf_impl),
-                local=jax.jit(self._local_impl),
-                insert=jax.jit(self._insert_impl),
-                mapping=jax.jit(self._mapping_impl),
-                reloc_try=jax.jit(self._reloc_try_impl),
-                fused=jax.jit(self._fused_impl),
-                kf_policy=jax.jit(self._kf_policy_impl))
-            _SYS_JIT_CACHE[key] = bundle
-        self._jit_stereo_init = bundle["stereo_init"]
-        self._jit_motion = bundle["motion"]
-        self._jit_motion_vo = bundle["motion_vo"]
-        self._jit_refkf = bundle["refkf"]
-        self._jit_local = bundle["local"]
-        self._jit_insert = bundle["insert"]
-        self._jit_mapping = bundle["mapping"]
-        self._jit_reloc_try = bundle["reloc_try"]
-        self._jit_fused = bundle["fused"]
-        self._jit_kf_policy = bundle["kf_policy"]
+        kern = _SYS_JIT_CACHE.get(key)
+        if kern is None:
+            kern = _SystemKernels(self.cfg, self.K, self.scale_factors,
+                                  self.inv_sigma2, self.log_scale,
+                                  self.objects)
+            _SYS_JIT_CACHE[key] = kern
+        self.kernels = kern
+        self._jit_stereo_init = kern.stereo_init
+        self._jit_motion = kern.motion
+        self._jit_motion_vo = kern.motion_vo
+        self._jit_refkf = kern.refkf
+        self._jit_local = kern.local
+        self._jit_insert = kern.insert
+        self._jit_mapping = kern.mapping
+        self._jit_reloc_try = kern.reloc_try
+        self._jit_fused = kern.fused
+        self._jit_kf_policy = kern.kf_policy
         self._async = None
         if async_mapping:
             devs = jax.devices()
             side = devs[1] if len(devs) > 1 else None
             self._async = _AsyncMapping(self._jit_mapping, device=side,
                                         home_device=devs[0])
-
-    # ------------------------------------------------------------------
-    # jitted stage wrappers
-    # ------------------------------------------------------------------
-    def _kf_policy_impl(self, m, depth, kp_pt, valid, last_kf, min_obs):
-        """All keyframe-policy scalars (Tracking.cc:1242-1326 inputs) in
-        ONE device program -> int32[3], so the host pays a single round
-        trip instead of three (the remote-attached-chip profile showed
-        each separate int() pull costing a full network RTT)."""
-        cam = self.cfg.camera
-        close = (depth > 0) & (depth < cam.th_depth * cam.baseline)
-        tracked = kp_pt >= 0
-        n_close_trk = jnp.sum(close & tracked & valid)
-        n_close_untrk = jnp.sum(close & ~tracked & valid)
-        # reference tracked points with >= nMinObs observations
-        # (Tracking.cc:1261-1266)
-        ref_pt = m.kf_kp_pt[last_kf]
-        P = m.pt_xyz.shape[0]
-        ref_matches = jnp.sum(
-            (ref_pt >= 0)
-            & (m.pt_n_obs[jnp.clip(ref_pt, 0, P - 1)] >= min_obs)
-            & m.pt_valid[jnp.clip(ref_pt, 0, P - 1)])
-        return jnp.stack([n_close_trk, n_close_untrk,
-                          ref_matches]).astype(jnp.int32)
-
-    def _stereo_init_impl(self, m, frame):
-        create = frame.valid & (frame.depth > 0)
-        m, kf_id = map_ops.insert_keyframe(
-            self.K, m, frame, jnp.eye(4), self.scale_factors, create)
-        kp_pt = m.kf_kp_pt[kf_id]
-        return m, kf_id, kp_pt
-
-    def _motion_impl(self, m, frame, last_uv, last_pt, last_level,
-                     last_valid, T_pred, radius, T_last):
-        return trk.track_motion_model(
-            self.K, m, frame, last_uv, last_pt, last_level, last_valid,
-            T_pred, self.scale_factors, self.inv_sigma2, radius_th=radius,
-            T_last=T_last)
-
-    def _motion_vo_impl(self, m, frame, last, T_pred):
-        return trk.track_motion_model_vo(
-            self.K, m, frame, last, T_pred, self.scale_factors,
-            self.inv_sigma2)
-
-    def _refkf_impl(self, m, frame, ref_kf, T0):
-        return trk.track_reference_kf(self.K, m, frame, ref_kf, T0,
-                                      self.inv_sigma2)
-
-    def _local_impl(self, m, frame, tr, T_last):
-        return trk.track_local_map(self.K, m, frame, tr,
-                                   self.scale_factors, self.inv_sigma2,
-                                   self.log_scale, T_last=T_last)
-
-    def _insert_impl(self, m, frame, Tcw, kp_pt, close_mask):
-        frame = frame._replace(kp_pt=kp_pt)
-        # CreateNewKeyFrame spawns all close untracked points AND tops up
-        # with the nearest untracked points to >= 100 regardless of the
-        # depth threshold (Tracking.cc:1352-1396 sorts by depth and keeps
-        # inserting past thDepth until 100) — without the top-up, scenes
-        # whose structure sits beyond thDepth starve the map.
-        untracked = frame.valid & (frame.depth > 0) & (kp_pt < 0)
-        depth_key = jnp.where(untracked, -frame.depth, -jnp.inf)
-        N = frame.depth.shape[0]
-        _, nearest = jax.lax.top_k(depth_key, min(100, N))
-        topup = jnp.zeros((N,), bool).at[nearest].set(True) & untracked
-        spawn = close_mask | topup
-        return map_ops.insert_keyframe(self.K, m, frame, Tcw,
-                                       self.scale_factors, spawn)
-
-    def _mapping_impl(self, m, kf_id):
-        return local_mapping.process_new_keyframe(
-            self.K, m, kf_id, self.scale_factors, self.inv_sigma2, self.cfg)
-
-    def _reloc_try_impl(self, m, frame, kf_id, rng):
-        return trk.relocalize_try(self.K, m, frame, kf_id, rng,
-                                  self.scale_factors, self.inv_sigma2)
-
-    def _fused_impl(self, m, frame, last, velocity, last_kf_id,
-                    frames_since_kf, frame_id, last_kf_inliers):
-        cfg = self.cfg
-        # object stages fold into the SAME one-sync program when objects
-        # are enabled (the reference runs TrackObject + PoseOptimization2
-        # + UpdateCurrentObject inline in Track(); Tracking.cc:453-545)
-        hooks = None
-        if self.objects is not None:
-            hooks = (self.objects.assoc_impl, self.objects.semopt_impl,
-                     self.objects.update_impl)
-        return trk.track_frame_fused(
-            self.K, m, frame, last, velocity, last_kf_id, frames_since_kf,
-            frame_id, last_kf_inliers,
-            self.scale_factors, self.inv_sigma2, self.log_scale,
-            motion_radius=cfg.tracking.motion_model_radius,
-            close_depth=cfg.camera.th_depth * cfg.camera.baseline,
-            max_frames_between_kf=cfg.tracking.max_frames_between_kf,
-            obj_hooks=hooks)
 
     # ------------------------------------------------------------------
     # public per-frame API
@@ -721,6 +743,7 @@ class SlamSystem:
             # readback (ObjectOptimizer.cc:23,1233)
             self.objects.semantic_constraints += int(p[56])
 
+        relocalized = False
         if not ok and n_inl < 10:
             tr_rel = self._relocalize(frame)
             if tr_rel is None:
@@ -732,6 +755,7 @@ class SlamSystem:
             frame = frame._replace(Tcw=tr_rel.Tcw, kp_pt=tr_rel.kp_pt)
             Tcw_np = np.asarray(tr_rel.Tcw)
             ok, need_kf = True, False
+            relocalized = True
             self.velocity = np.eye(4, dtype=np.float32)
             n_inl = int(tr_rel.n_inliers)
 
@@ -764,10 +788,15 @@ class SlamSystem:
             self._record_np(pend["ts"], Tcw_np, True)
         elif ok:
             self.frames_since_kf += 1
-            # Tcr came back in the same packed readback — record with NO
-            # extra device traffic
-            self._record_precomputed(pend["ts"], Tcw_np,
-                                     p[32:48].reshape(4, 4), True)
+            if relocalized:
+                # the packed Tcr belongs to the FAILED fused attempt;
+                # recompute from the reloc pose (ADVICE r3)
+                self._record_np(pend["ts"], Tcw_np, True)
+            else:
+                # Tcr came back in the same packed readback — record with
+                # NO extra device traffic
+                self._record_precomputed(pend["ts"], Tcw_np,
+                                         p[32:48].reshape(4, 4), True)
         else:
             self._record_np(pend["ts"], Tcw_np, False)
         self.last_frame = frame
@@ -934,7 +963,11 @@ class SlamSystem:
     def shutdown(self, checkpoint_path: Optional[str] = None):
         """Flush state; optionally snapshot the map (the reference's
         Shutdown only joins threads — there are none here; the useful
-        analogue is a final checkpoint)."""
+        analogue is a final checkpoint). flush_mapping first: with
+        pipelined_readback/async mapping a checkpoint taken mid-flight
+        would drop the last frame's bookkeeping, a pending keyframe
+        insertion, and any in-flight mapping pass (ADVICE r3)."""
+        self.flush_mapping()
         if checkpoint_path:
             from object_slam_tpu.slam import checkpoint
             checkpoint.save_system(checkpoint_path, self)

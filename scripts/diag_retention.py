@@ -69,7 +69,7 @@ def main():
         def _no_ba(K, m, kf_id, window, n_fixed, inv_sigma2_lvl, **kw):
             return m
         lm.run_local_ba = _no_ba
-        sys_._jit_mapping = __import__("jax").jit(sys_._mapping_impl)
+        sys_._jit_mapping = __import__("jax").jit(sys_.kernels._mapping_impl)
     errs = []
     for i, T in enumerate(poses):
         gray, depth, rgb, sem = scene.render_rgbd(T)

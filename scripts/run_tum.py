@@ -81,6 +81,14 @@ def main():
     if args.metrics:
         from object_slam_tpu.utils.metrics import MetricsStream
         metrics = MetricsStream(args.metrics)
+    if args.viz_dir:
+        # the scrubber reads per-frame state/pose eagerly; with the
+        # one-frame-lagged readback those lag one frame behind the image
+        # on screen (and reading them forces the sync the pipeline exists
+        # to hide) — strict mode keeps every overlay consistent (ADVICE r3)
+        import dataclasses
+        cfg = cfg.replace(tracking=dataclasses.replace(
+            cfg.tracking, pipelined_readback=False))
     sys_ = SlamSystem(cfg, enable_objects=not args.no_objects,
                       enable_loop=args.loop, vocab_path=args.vocab,
                       async_mapping=args.async_mapping,
