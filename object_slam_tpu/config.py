@@ -234,6 +234,10 @@ class CapacityConfig:
     grid_rows: int = 48              # feature grid (Frame.h:43-44)
     grid_cols: int = 64
     local_window_kf: int = 32        # local-BA covisible window
+    # local-BA compacted point slab: the window's free points are packed
+    # into this many rows so every per-point reduction is a gather, not a
+    # scatter over the full max_points slab (solvers/ba.py ba_iterate)
+    local_pt_cap: int = 8192
 
 
 @dataclass(frozen=True)
@@ -281,6 +285,7 @@ class SlamConfig:
             dist=(0.0, 0.0, 0.0, 0.0, 0.0), width=1241, height=376,
             fps=10.0, bf=386.1448, th_depth=35.0, depth_map_factor=1.0)
         orb = OrbConfig(n_features=2000)
-        caps = CapacityConfig(n_kp=2048, max_points=65536, max_keyframes=1024)
+        caps = CapacityConfig(n_kp=2048, max_points=65536,
+                              max_keyframes=1024, local_pt_cap=16384)
         return SlamConfig(camera=cam, orb=orb, caps=caps,
                           sensor="stereo", indoor=False)

@@ -429,8 +429,11 @@ class LoopCloser:
 
     def _gba_impl(self, m: MapState):
         prob = self._build_ba_problem(m)
+        # obs are [Kcap, N] row-major by construction -> per-KF reductions
+        # are reshape-sums, not scatters (solvers/ba.py block_n)
         kf_pose, pt_xyz = global_ba(self.K, prob,
-                                    iters=self.cfg.solver.global_ba_iters)
+                                    iters=self.cfg.solver.global_ba_iters,
+                                    block_n=m.kf_kp_pt.shape[1])
         return m._replace(kf_pose=kf_pose, pt_xyz=pt_xyz,
                           version=m.version + 1)
 

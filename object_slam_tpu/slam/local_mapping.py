@@ -22,19 +22,28 @@ from object_slam_tpu.slam.map_state import (MapState, covisibility,
 from object_slam_tpu.solvers.ba import BAProblem, local_ba
 
 
-def build_local_ba_problem(m: MapState, kf_id, window: int, n_fixed: int):
+def build_local_ba_problem(m: MapState, kf_id, window: int, n_fixed: int,
+                           pt_cap: int = 0, W_row=None):
     """Gather the covisibility window around kf_id into a compact BA problem.
 
     Local (free) KFs: kf_id + its strongest covisible neighbors
     (Optimizer.cc:462-500). Fixed KFs: next-strongest observers
     (Optimizer.cc:540-553 takes all other observers; we cap at n_fixed).
     Observations: every (window KF, keypoint->point) pair.
+
+    pt_cap > 0 compacts the local point set into a [pt_cap] slab and
+    builds a per-point observation-slot table — the two structures that
+    turn every reduction inside ba_iterate into reshape/gather sums
+    instead of scatters (scatter-form local BA measured 4.85 s per
+    keyframe at KITTI caps, 95% of the whole mapping pass). Returns
+    (prob, kf_sel, sel_ok, lidx, l_ok, pt_obs_slot); with pt_cap=0 the
+    legacy full-slab problem (lidx=None).
     """
     Kcap, N = m.kf_kp_pt.shape
     P = m.pt_xyz.shape[0]
     window = min(window, Kcap)
     n_fixed = min(n_fixed, max(Kcap - window, 0))
-    W = covisibility(m)[kf_id]
+    W = covisibility(m)[kf_id] if W_row is None else W_row
     W = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W, -1)
     _, nbrs = jax.lax.top_k(W, window - 1 + n_fixed)
     local_kfs = jnp.concatenate([kf_id[None], nbrs[:window - 1]])
@@ -54,47 +63,100 @@ def build_local_ba_problem(m: MapState, kf_id, window: int, n_fixed: int):
     ptc = jnp.clip(kp_pt, 0, P - 1)
     obs_valid = obs_valid & m.pt_valid[ptc]
 
+    # owner table [Wtot, P]: which keypoint of window-KF w observes point
+    # p. Doubles as (a) the dedupe filter — a point bound to two keypoints
+    # of one KF keeps only the surviving writer, so every reduction sees
+    # the same observation set — and (b) the per-point observation-slot
+    # table for gather-form seg_pt.
+    ww = jnp.arange(Wtot)[:, None]
+    # invalid observations scatter out of bounds (dropped) so they can
+    # never clobber a valid writer's slot
+    owner = jnp.full((Wtot, P), -1, jnp.int32).at[
+        ww, jnp.where(obs_valid, ptc, P)].set(
+        jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
+                         (Wtot, N)), mode='drop')
+    obs_valid = obs_valid & (
+        owner[ww, ptc] == jnp.arange(N, dtype=jnp.int32)[None, :])
+
     # point set: observed by a FREE window KF (others are anchors)
     free_rows = (~fixed & sel_ok)[:, None] & obs_valid
     pt_local = jnp.zeros((P,), bool).at[ptc.reshape(-1)].max(
         free_rows.reshape(-1))
     obs_valid = obs_valid & pt_local[ptc]
 
-    inv_sig = m.kf_kp_level[kf_sel]  # placeholder; caller multiplies
+    if pt_cap <= 0:
+        prob = BAProblem(
+            kf_pose=m.kf_pose[kf_sel],
+            kf_fixed=fixed,
+            kf_valid=sel_ok,
+            pt_xyz=m.pt_xyz,
+            pt_valid=pt_local & m.pt_valid,
+            obs_kf=jnp.repeat(jnp.arange(Wtot), N),
+            obs_pt=ptc.reshape(-1),
+            obs_uv=m.kf_kp_uv[kf_sel].reshape(-1, 2),
+            obs_ur=jnp.where(obs_valid, m.kf_kp_ur[kf_sel], -1.0).reshape(-1),
+            obs_inv_sigma2=jnp.ones((Wtot * N,)),
+            obs_valid=obs_valid.reshape(-1))
+        return prob, kf_sel, sel_ok, None, None, None
+
+    # --- compact the point slab: [P] -> [pt_cap]
+    Lp = min(pt_cap, P)
+    _, lidx = jax.lax.top_k(pt_local.astype(jnp.float32), Lp)  # first Lp locals
+    l_ok = pt_local[lidx]
+    inv = jnp.full((P,), -1, jnp.int32).at[lidx].set(
+        jnp.where(l_ok, jnp.arange(Lp, dtype=jnp.int32), -1))
+    obs_pt_l = inv[ptc]                                       # [Wtot, N]
+    obs_valid = obs_valid & (obs_pt_l >= 0)                   # spill -> drop
+    obs_pt_l = jnp.clip(obs_pt_l, 0, Lp - 1)
+
+    # per-point observation slots: obs index of point row p in window KF w
+    own_l = owner[:, jnp.clip(lidx, 0, P - 1)]                # [Wtot, Lp]
+    pt_obs_slot = jnp.where(
+        (own_l >= 0) & l_ok[None, :],
+        ww * N + jnp.maximum(own_l, 0), -1).T                 # [Lp, Wtot]
+
     prob = BAProblem(
         kf_pose=m.kf_pose[kf_sel],
         kf_fixed=fixed,
         kf_valid=sel_ok,
-        pt_xyz=m.pt_xyz,
-        pt_valid=pt_local & m.pt_valid,
+        pt_xyz=m.pt_xyz[lidx],
+        pt_valid=l_ok,
         obs_kf=jnp.repeat(jnp.arange(Wtot), N),
-        obs_pt=ptc.reshape(-1),
+        obs_pt=obs_pt_l.reshape(-1),
         obs_uv=m.kf_kp_uv[kf_sel].reshape(-1, 2),
         obs_ur=jnp.where(obs_valid, m.kf_kp_ur[kf_sel], -1.0).reshape(-1),
         obs_inv_sigma2=jnp.ones((Wtot * N,)),
         obs_valid=obs_valid.reshape(-1))
-    return prob, kf_sel, sel_ok
+    return prob, kf_sel, sel_ok, lidx, l_ok, pt_obs_slot
 
 
 def run_local_ba(K, m: MapState, kf_id, window: int, n_fixed: int,
                  inv_sigma2_lvl,
-                 iters1: int = 5, iters2: int = 10) -> MapState:
+                 iters1: int = 5, iters2: int = 10,
+                 pt_cap: int = 8192, W_row=None) -> MapState:
     """LocalBundleAdjustment (Optimizer.cc:453-779) on the covisibility
     window; results scattered back into the map."""
-    prob, kf_sel, sel_ok = build_local_ba_problem(m, kf_id, window, n_fixed)
+    prob, kf_sel, sel_ok, lidx, l_ok, pt_obs_slot = build_local_ba_problem(
+        m, kf_id, window, n_fixed, pt_cap=pt_cap, W_row=W_row)
+    N = m.kf_kp_pt.shape[1]
     lvl = m.kf_kp_level[kf_sel].reshape(-1)
     prob = prob._replace(obs_inv_sigma2=inv_sigma2_lvl[
         jnp.clip(lvl, 0, inv_sigma2_lvl.shape[0] - 1)])
-    kf_pose, pt_xyz, keep = local_ba(K, prob, iters1, iters2)
+    kf_pose, pt_xyz, keep = local_ba(K, prob, iters1, iters2,
+                                     block_n=N, pt_obs_slot=pt_obs_slot)
 
     # scatter poses back (only valid selections, never fixed rows changed)
     m = m._replace(
         kf_pose=m.kf_pose.at[kf_sel].set(
-            jnp.where(sel_ok[:, None, None], kf_pose, m.kf_pose[kf_sel])),
-        pt_xyz=pt_xyz)
+            jnp.where(sel_ok[:, None, None], kf_pose, m.kf_pose[kf_sel])))
+    if lidx is None:
+        m = m._replace(pt_xyz=pt_xyz)
+    else:
+        m = m._replace(pt_xyz=m.pt_xyz.at[lidx].set(
+            jnp.where(l_ok[:, None], pt_xyz, m.pt_xyz[lidx])))
 
     # prune observations the BA rejected (Optimizer.cc:741-760)
-    Wtot, N = kf_sel.shape[0], m.kf_kp_pt.shape[1]
+    Wtot = kf_sel.shape[0]
     P = m.pt_xyz.shape[0]
     pruned = prob.obs_valid & ~keep
     kp_pt_sel = m.kf_kp_pt[kf_sel]
@@ -105,9 +167,16 @@ def run_local_ba(K, m: MapState, kf_id, window: int, n_fixed: int,
     # Leaving it valid keeps a stale (often BA-orphaned, unconstrained)
     # position matchable by tracking; measured on live maps as 100+ m
     # garbage points matched at 95% rates right after a local BA.
-    n_pruned = jax.ops.segment_sum(
-        pruned.astype(jnp.int32), jnp.clip(prob.obs_pt, 0, P - 1),
-        num_segments=P)
+    if lidx is None:
+        n_pruned = jax.ops.segment_sum(
+            pruned.astype(jnp.int32), jnp.clip(prob.obs_pt, 0, P - 1),
+            num_segments=P)
+    else:
+        Lp = lidx.shape[0]
+        n_pruned_l = jax.ops.segment_sum(
+            pruned.astype(jnp.int32), prob.obs_pt, num_segments=Lp)
+        n_pruned = jnp.zeros((P,), jnp.int32).at[lidx].add(
+            jnp.where(l_ok, n_pruned_l, 0))
     pt_n_obs = jnp.maximum(m.pt_n_obs - n_pruned, 0)
     # only points the BA actually rejected from die here — fresh
     # single-observation spawns (n_obs=1 by construction) are candidates
@@ -122,23 +191,35 @@ def run_local_ba(K, m: MapState, kf_id, window: int, n_fixed: int,
 
 def process_new_keyframe(K, m: MapState, kf_id, scale_factors,
                          inv_sigma2_lvl, cfg) -> MapState:
-    """The LocalMapping pipeline for one keyframe."""
+    """The LocalMapping pipeline for one keyframe.
+
+    The covisibility row for kf_id is computed ONCE and shared by all
+    four consumers (triangulate / fuse / local BA / KF cull) — each
+    recomputing it cost a [K,P]x[P,K] MXU product (~26 ms at KITTI caps).
+    Mid-pass observation changes shift the weights slightly; neighbor
+    SELECTION tolerates the staleness (the reference also selects from
+    incrementally-maintained connection lists, LocalMapping.cc:208,455).
+    """
+    W_row = covisibility(m)[kf_id]
     m = map_ops.cull_points(m, kf_id,
                             recency_scope=cfg.mapping.cull_recency_scope)
     m = map_ops.triangulate_new_points(
         m, kf_id, n_neighbors=5, K=K,
-        inv_sigma2_lvl=inv_sigma2_lvl, scale_factors=scale_factors)
+        inv_sigma2_lvl=inv_sigma2_lvl, scale_factors=scale_factors,
+        W_row=W_row)
     m = map_ops.fuse_into_neighbors(
         m, kf_id, n_neighbors=5, K=K,
-        scale_factors=scale_factors, inv_sigma2_lvl=inv_sigma2_lvl)
+        scale_factors=scale_factors, inv_sigma2_lvl=inv_sigma2_lvl,
+        W_row=W_row)
     # distinctive-descriptor re-election + normal refresh after fusion
     # (LocalMapping::SearchInNeighbors tail, LocalMapping.cc:540-552)
     if cfg.mapping.reelect_descriptors:
         m = recompute_point_stats(m)
     m = run_local_ba(m=m, K=K, kf_id=kf_id,
                      window=cfg.caps.local_window_kf, n_fixed=8,
-                     inv_sigma2_lvl=inv_sigma2_lvl)
+                     inv_sigma2_lvl=inv_sigma2_lvl,
+                     pt_cap=cfg.caps.local_pt_cap, W_row=W_row)
     m = map_ops.cull_keyframes(
         m, kf_id, scale_condition=cfg.mapping.kf_cull_scale_condition,
-        n_levels=cfg.orb.n_levels)
+        n_levels=cfg.orb.n_levels, W_row=W_row)
     return m

@@ -149,14 +149,17 @@ def cull_points(m: MapState, current_kf_id, min_found_ratio: float = 0.25,
 
 def triangulate_new_points(m: MapState, kf_id, n_neighbors: int,
                            K, inv_sigma2_lvl, scale_factors,
-                           chi2_gate: float = 5.991):
+                           chi2_gate: float = 5.991, W_row=None):
     """CreateNewMapPoints (LocalMapping.cc:208-453): for the top covisible
     neighbors, epipolar-match unmatched keypoints and triangulate.
 
-    n_neighbors is static. Returns updated map.
+    n_neighbors is static. W_row: optional precomputed covisibility row
+    for kf_id (the [K,P]x[P,K] covisibility product is ~26 ms at KITTI
+    caps and the mapping pass consumes it four times — compute once in
+    process_new_keyframe). Returns updated map.
     """
     Kcap, N = m.kf_kp_pt.shape
-    W = covisibility(m)[kf_id]
+    W = covisibility(m)[kf_id] if W_row is None else W_row
     W = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W, -1)
     _, nbrs = jax.lax.top_k(W, n_neighbors)
     nbr_ok_all = W[nbrs] > 0
@@ -342,7 +345,8 @@ def triangulate_new_points(m: MapState, kf_id, n_neighbors: int,
 
 def cull_keyframes(m: MapState, kf_id, n_check: int = 10,
                    redundancy: float = 0.9, min_obs: int = 3,
-                   scale_condition: bool = False, n_levels: int = 8):
+                   scale_condition: bool = False, n_levels: int = 8,
+                   W_row=None):
     """KeyFrameCulling (LocalMapping.cc:633-697): a covisible keyframe is
     redundant if >= 90% of its tracked points are observed by at least 3
     other keyframes. With scale_condition=True the reference's rule is
@@ -359,8 +363,8 @@ def cull_keyframes(m: MapState, kf_id, n_check: int = 10,
     """
     Kcap, N = m.kf_kp_pt.shape
     P = m.pt_xyz.shape[0]
-    W = covisibility(m)
-    Wrow = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W[kf_id], -1)
+    Wk = covisibility(m)[kf_id] if W_row is None else W_row
+    Wrow = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), Wk, -1)
     _, cands = jax.lax.top_k(Wrow, n_check)
     cand_ok = (Wrow[cands] > 0) & (cands != 0)      # never cull KF0
 
@@ -458,7 +462,8 @@ def apply_replacements(m: MapState, fwd, replaced):
 
 
 def fuse_into_neighbors(m: MapState, kf_id, n_neighbors: int, K,
-                        scale_factors, inv_sigma2_lvl, th_dist: int = 50):
+                        scale_factors, inv_sigma2_lvl, th_dist: int = 50,
+                        W_row=None):
     """SearchInNeighbors/Fuse (LocalMapping.cc:455-554, ORBmatcher.cc:825):
     project the new KF's points into covisible neighbors; where a neighbor
     keypoint matches closely, bind it to the point if free, or replace the
@@ -466,7 +471,7 @@ def fuse_into_neighbors(m: MapState, kf_id, n_neighbors: int, K,
     different one (ORBmatcher.cc:910-925's Replace arbitration)."""
     Kcap, N = m.kf_kp_pt.shape
     P = m.pt_xyz.shape[0]
-    W = covisibility(m)[kf_id]
+    W = covisibility(m)[kf_id] if W_row is None else W_row
     W = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W, -1)
     _, nbrs = jax.lax.top_k(W, n_neighbors)
 

@@ -282,24 +282,31 @@ def relocalize_try(K, m: MapState, frame: FrameData, kf_id, rng,
 def select_local_points(m: MapState, kp_pt, n_local_kf: int = 16):
     """UpdateLocalKeyFrames/Points (Tracking.cc:1460-1604): keyframes that
     share points with the current frame + their covisible neighbors; all
-    their points become the local set, compacted to MAX_LOCAL_POINTS."""
+    their points become the local set, compacted to MAX_LOCAL_POINTS.
+
+    Gather-form voting: a [P] matched-set scatter (N writes) + a [K, N]
+    membership gather — this runs EVERY frame inside the fused program,
+    and the round-3 form scattered a full [K, P] incidence slab per frame
+    (64 MB and 2M scattered writes at KITTI capacities)."""
     Kcap, N = m.kf_kp_pt.shape
     P = m.pt_xyz.shape[0]
     matched = kp_pt >= 0
     ptc = jnp.clip(kp_pt, 0, P - 1)
 
-    # votes: how many current matches each KF observes (via incidence)
-    A = jnp.zeros((Kcap, P), bool)
-    kk = jnp.arange(Kcap)[:, None]
-    A = A.at[kk, jnp.clip(m.kf_kp_pt, 0, P - 1)].max(
-        (m.kf_kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None])
-    votes = jnp.sum(A[:, ptc] & matched[None, :], axis=1)     # [K]
+    matched_set = jnp.zeros((P,), bool).at[ptc].max(matched)
+    obs_ok = (m.kf_kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    votes = jnp.sum(matched_set[jnp.clip(m.kf_kp_pt, 0, P - 1)] & obs_ok,
+                    axis=1)                                    # [K]
 
     _, local_kfs = jax.lax.top_k(votes, min(n_local_kf, Kcap))
     kf_ok = votes[local_kfs] > 0
 
-    # local point mask: observed by any local KF
-    local_mask = jnp.any(A[local_kfs] & kf_ok[:, None], axis=0) & m.pt_valid
+    # local point mask: observed by any local KF (scatter over L*N only)
+    sel = m.kf_kp_pt[local_kfs]                                # [L, N]
+    sel_ok = (sel >= 0) & m.kf_kp_valid[local_kfs] & kf_ok[:, None]
+    local_mask = jnp.zeros((P,), bool).at[
+        jnp.clip(sel, 0, P - 1).reshape(-1)].max(sel_ok.reshape(-1))
+    local_mask = local_mask & m.pt_valid
     # compact: strongest = those with most observations
     score = jnp.where(local_mask, m.pt_n_obs, -1)
     _, local_pts = jax.lax.top_k(score, min(MAX_LOCAL_POINTS, P))

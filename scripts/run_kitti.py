@@ -73,6 +73,7 @@ def main():
         pf.submit(2 * i + 1, fr.right_path)
 
     t0 = time.perf_counter()
+    times = []
     for i, fr in enumerate(frames):
         gl, _, _ = pf.get(2 * i)
         gr, _, _ = pf.get(2 * i + 1)
@@ -85,11 +86,14 @@ def main():
         sem_arrays = None
         if args.semantic_dir:
             sem_arrays = kitti.load_semantics(args.semantic_dir, fr.index, cfg)
+        tf0 = time.perf_counter()
         sys_.track_stereo(jnp.asarray(gl), jnp.asarray(gr),
                           jnp.asarray(rgb), sem_arrays,
                           timestamp=fr.timestamp)
-        if i % 100 == 0:
-            print(f"frame {i}/{len(frames)} kfs={sys_.n_keyframes}")
+        times.append(time.perf_counter() - tf0)
+        if i % 50 == 0:
+            print(f"frame {i}/{len(frames)} kfs={sys_.n_keyframes}",
+                  flush=True)
     total = time.perf_counter() - t0
     pf.close()
 
@@ -105,6 +109,8 @@ def main():
             sys_.objects.semantic_constraints)
 
     result = {"frames": len(frames), "fps": len(frames) / total,
+              "median_track_ms": float(np.median(times) * 1e3),
+              "tracked": int(sum(1 for _, _, ok in traj if ok)),
               "keyframes": sys_.n_keyframes, "points": sys_.n_points}
     if sys_.objects is not None:
         result["objects"] = int(np.asarray(sys_.map.obj_valid).sum())
