@@ -142,6 +142,10 @@ class TrackingConfig:
     # the per-frame device->host round trip (~24 ms on a remote-attached
     # chip). False = strict one-sync-per-frame state machine.
     pipelined_readback: bool = True
+    # False routes tracking through the staged host path (one jitted
+    # program per stage, host-visible intermediates) instead of the fused
+    # one-sync program — for stage-level diagnostics (diag_semopt) only
+    fused: bool = True
 
 
 @dataclass(frozen=True)

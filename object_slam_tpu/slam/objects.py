@@ -450,11 +450,13 @@ class ObjectEngine:
         Tcw, kp_pt, inl, n_sem = self._semopt_impl(m, frame, res)
         # n_sem comes back as a DEVICE scalar so the caller can fetch it
         # packed with the inlier count in one round trip; the caller owns
-        # adding it to self.semantic_constraints
+        # adding it to self.semantic_constraints. res.Tcw is the PRE-
+        # semopt pose (the plain local-map optimum) for stage diagnostics.
         return TrackResult(Tcw=Tcw, kp_pt=kp_pt, inlier=inl,
                            n_matches=res.n_matches,
                            n_inliers=jnp.sum(
-                               (kp_pt >= 0).astype(jnp.int32))), m, n_sem
+                               (kp_pt >= 0).astype(jnp.int32))), m, n_sem, \
+            res.Tcw
 
     def _semopt_impl(self, m: MapState, frame: FrameData, res: TrackResult):
         cfg = self.cfg.solver

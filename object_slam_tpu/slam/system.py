@@ -439,6 +439,7 @@ class SlamSystem:
         # read is ~free, and the state machine (KF insertion, LOST)
         # catches up before this frame routes
         self._resolve_fused_pending()
+        self._last_presem_Tcw = None   # set by the host semopt path only
         if self.state == NOT_INITIALIZED:
             n_depth = int(jnp.sum((frame.depth > 0) & frame.valid))
             if n_depth > 100:
@@ -461,7 +462,7 @@ class SlamSystem:
             self.frame_id += 1
             return frame
 
-        if self.enable_mapping and self.state == OK:
+        if self.enable_mapping and self.state == OK and cfg.tracking.fused:
             # one-sync fused program, objects on or off (round 3: the
             # object stages are hooks inside the same compiled chain)
             return self._track_fused(frame)
@@ -550,10 +551,11 @@ class SlamSystem:
             return frame
         with self.profiler.span("track.local_map"):
             if self.objects is not None and bool(jnp.any(frame.obj3d >= 0)):
-                tr2, self.map, n_sem = \
+                tr2, self.map, n_sem, Tcw_pre = \
                     self.objects.track_local_map_semantic(
                         self.map, frame, tr)
                 ref_kf = self.last_kf_id
+                self._last_presem_Tcw = Tcw_pre
                 # one packed pull: inlier count + semantic-constraint
                 # count (N_AllSemanticConstraintNum accumulation)
                 packed = np.asarray(jnp.stack(

@@ -45,17 +45,20 @@ def main():
         poses.append(T)
     poses = np.stack(poses)
 
+    fx, fy, cx, cy, bf = (float(K.fx), float(K.fy), float(K.cx),
+                          float(K.cy), float(K.bf))
     obs_pt = rng.randint(0, Lp, (O,)).astype(np.int32)
     obs_kf = np.repeat(np.arange(Wtot), N).astype(np.int32)
     pw = pts[obs_pt]
     pc = (poses[obs_kf, :3, :3] @ pw[..., None])[..., 0] + poses[obs_kf, :3, 3]
     z = np.maximum(pc[:, 2], 0.1)
-    uv = np.stack([K.fx * pc[:, 0] / z + K.cx,
-                   K.fy * pc[:, 1] / z + K.cy], -1)
+    uv = np.stack([fx * pc[:, 0] / z + cx,
+                   fy * pc[:, 1] / z + cy], -1)
     uv += rng.normal(0, 0.5, uv.shape)
-    ur = uv[:, 0] - K.bf / z
-    valid = (pc[:, 2] > 0.5) & (np.abs(uv[:, 0] - K.cx) < K.cx) \
-        & (np.abs(uv[:, 1] - K.cy) < K.cy)
+    ur = uv[:, 0] - bf / z
+    valid = (pc[:, 2] > 0.5) & (np.abs(uv[:, 0] - cx) < cx) \
+        & (np.abs(uv[:, 1] - cy) < cy)
+    valid = np.asarray(valid)
 
     # per-point slot table: obs o in slot (kf % Wtot) — here each point is
     # hit by random obs; build via host loop
