@@ -242,6 +242,10 @@ class CapacityConfig:
     # into this many rows so every per-point reduction is a gather, not a
     # scatter over the full max_points slab (solvers/ba.py ba_iterate)
     local_pt_cap: int = 8192
+    # local-BA per-KF observation slab: each window KF's live observations
+    # compact into this many slots (~1/4 of n_kp slots are live; every
+    # O-sized sweep inside the LM loop shrinks proportionally)
+    local_obs_per_kf: int = 512
 
 
 @dataclass(frozen=True)
@@ -290,6 +294,7 @@ class SlamConfig:
             fps=10.0, bf=386.1448, th_depth=35.0, depth_map_factor=1.0)
         orb = OrbConfig(n_features=2000)
         caps = CapacityConfig(n_kp=2048, max_points=65536,
-                              max_keyframes=1024, local_pt_cap=16384)
+                              max_keyframes=1024, local_pt_cap=16384,
+                              local_obs_per_kf=1024)
         return SlamConfig(camera=cam, orb=orb, caps=caps,
                           sensor="stereo", indoor=False)

@@ -23,7 +23,7 @@ from object_slam_tpu.solvers.ba import BAProblem, local_ba
 
 
 def build_local_ba_problem(m: MapState, kf_id, window: int, n_fixed: int,
-                           pt_cap: int = 0, W_row=None):
+                           pt_cap: int = 0, W_row=None, obs_cap: int = 0):
     """Gather the covisibility window around kf_id into a compact BA problem.
 
     Local (free) KFs: kf_id + its strongest covisible neighbors
@@ -97,7 +97,7 @@ def build_local_ba_problem(m: MapState, kf_id, window: int, n_fixed: int,
             obs_ur=jnp.where(obs_valid, m.kf_kp_ur[kf_sel], -1.0).reshape(-1),
             obs_inv_sigma2=jnp.ones((Wtot * N,)),
             obs_valid=obs_valid.reshape(-1))
-        return prob, kf_sel, sel_ok, None, None, None
+        return prob, kf_sel, sel_ok, None, None, None, None
 
     # --- compact the point slab: [P] -> [pt_cap]
     Lp = min(pt_cap, P)
@@ -107,13 +107,31 @@ def build_local_ba_problem(m: MapState, kf_id, window: int, n_fixed: int,
         jnp.where(l_ok, jnp.arange(Lp, dtype=jnp.int32), -1))
     obs_pt_l = inv[ptc]                                       # [Wtot, N]
     obs_valid = obs_valid & (obs_pt_l >= 0)                   # spill -> drop
-    obs_pt_l = jnp.clip(obs_pt_l, 0, Lp - 1)
 
-    # per-point observation slots: obs index of point row p in window KF w
+    # --- per-KF observation compaction: [Wtot, N] -> [Wtot, Nc].
+    # Only ~1/4 of a KF's keypoint slots carry a live observation; every
+    # O-sized array inside ba_iterate costs an HBM sweep PER LM
+    # ITERATION, so halving O halves the whole solve (measured: the
+    # dense per-iteration sweeps, not the CG, dominate local BA).
+    Nc = min(obs_cap if obs_cap > 0 else N, N)
+    pos = jnp.cumsum(obs_valid.astype(jnp.int32), axis=1) - 1  # [Wtot, N]
+    in_slab = obs_valid & (pos < Nc)
+    cols_src = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
+                                (Wtot, N))
+    col_of = jnp.full((Wtot, Nc + 1), N, jnp.int32).at[
+        ww, jnp.where(in_slab, pos, Nc)].set(cols_src, mode='drop')[:, :Nc]
+    c_ok = col_of < N
+    cc = jnp.clip(col_of, 0, N - 1)
+
+    uv_sel = m.kf_kp_uv[kf_sel]                               # [Wtot, N, 2]
+    ur_sel = m.kf_kp_ur[kf_sel]
+
+    # per-point observation slots -> COMPACTED flat indices
     own_l = owner[:, jnp.clip(lidx, 0, P - 1)]                # [Wtot, Lp]
-    pt_obs_slot = jnp.where(
-        (own_l >= 0) & l_ok[None, :],
-        ww * N + jnp.maximum(own_l, 0), -1).T                 # [Lp, Wtot]
+    own_c = jnp.maximum(own_l, 0)
+    pos_own = pos[ww, own_c]
+    own_ok = (own_l >= 0) & l_ok[None, :] & in_slab[ww, own_c]
+    pt_obs_slot = jnp.where(own_ok, ww * Nc + pos_own, -1).T  # [Lp, Wtot]
 
     prob = BAProblem(
         kf_pose=m.kf_pose[kf_sel],
@@ -121,29 +139,41 @@ def build_local_ba_problem(m: MapState, kf_id, window: int, n_fixed: int,
         kf_valid=sel_ok,
         pt_xyz=m.pt_xyz[lidx],
         pt_valid=l_ok,
-        obs_kf=jnp.repeat(jnp.arange(Wtot), N),
-        obs_pt=obs_pt_l.reshape(-1),
-        obs_uv=m.kf_kp_uv[kf_sel].reshape(-1, 2),
-        obs_ur=jnp.where(obs_valid, m.kf_kp_ur[kf_sel], -1.0).reshape(-1),
-        obs_inv_sigma2=jnp.ones((Wtot * N,)),
-        obs_valid=obs_valid.reshape(-1))
-    return prob, kf_sel, sel_ok, lidx, l_ok, pt_obs_slot
+        obs_kf=jnp.repeat(jnp.arange(Wtot), Nc),
+        obs_pt=jnp.clip(obs_pt_l, 0, Lp - 1)[ww, cc].reshape(-1),
+        obs_uv=uv_sel[ww, cc].reshape(-1, 2),
+        obs_ur=jnp.where(c_ok, ur_sel[ww, cc], -1.0).reshape(-1),
+        obs_inv_sigma2=jnp.ones((Wtot * Nc,)),
+        obs_valid=(c_ok & obs_valid[ww, cc]).reshape(-1))
+    return prob, kf_sel, sel_ok, lidx, l_ok, pt_obs_slot, (col_of, c_ok)
 
 
 def run_local_ba(K, m: MapState, kf_id, window: int, n_fixed: int,
                  inv_sigma2_lvl,
                  iters1: int = 5, iters2: int = 10,
-                 pt_cap: int = 8192, W_row=None) -> MapState:
+                 pt_cap: int = 8192, W_row=None,
+                 obs_cap: int = 0) -> MapState:
     """LocalBundleAdjustment (Optimizer.cc:453-779) on the covisibility
     window; results scattered back into the map."""
-    prob, kf_sel, sel_ok, lidx, l_ok, pt_obs_slot = build_local_ba_problem(
-        m, kf_id, window, n_fixed, pt_cap=pt_cap, W_row=W_row)
+    prob, kf_sel, sel_ok, lidx, l_ok, pt_obs_slot, cols = \
+        build_local_ba_problem(m, kf_id, window, n_fixed, pt_cap=pt_cap,
+                               W_row=W_row, obs_cap=obs_cap)
     N = m.kf_kp_pt.shape[1]
-    lvl = m.kf_kp_level[kf_sel].reshape(-1)
+    Wtot = kf_sel.shape[0]
+    ww = jnp.arange(Wtot)[:, None]
+    if cols is None:
+        block_n = N
+        lvl = m.kf_kp_level[kf_sel].reshape(-1)
+    else:
+        col_of, c_ok = cols
+        block_n = col_of.shape[1]
+        lvl = m.kf_kp_level[kf_sel][ww, jnp.clip(col_of, 0, N - 1)] \
+            .reshape(-1)
     prob = prob._replace(obs_inv_sigma2=inv_sigma2_lvl[
         jnp.clip(lvl, 0, inv_sigma2_lvl.shape[0] - 1)])
     kf_pose, pt_xyz, keep = local_ba(K, prob, iters1, iters2,
-                                     block_n=N, pt_obs_slot=pt_obs_slot)
+                                     block_n=block_n,
+                                     pt_obs_slot=pt_obs_slot)
 
     # scatter poses back (only valid selections, never fixed rows changed)
     m = m._replace(
@@ -156,11 +186,16 @@ def run_local_ba(K, m: MapState, kf_id, window: int, n_fixed: int,
             jnp.where(l_ok[:, None], pt_xyz, m.pt_xyz[lidx])))
 
     # prune observations the BA rejected (Optimizer.cc:741-760)
-    Wtot = kf_sel.shape[0]
     P = m.pt_xyz.shape[0]
     pruned = prob.obs_valid & ~keep
     kp_pt_sel = m.kf_kp_pt[kf_sel]
-    kp_pt_sel = jnp.where(pruned.reshape(Wtot, N), -1, kp_pt_sel)
+    if cols is None:
+        kp_pt_sel = jnp.where(pruned.reshape(Wtot, N), -1, kp_pt_sel)
+    else:
+        pr = pruned.reshape(Wtot, block_n) & c_ok
+        cc = jnp.clip(col_of, 0, N - 1)
+        kp_pt_sel = kp_pt_sel.at[ww, cc].set(
+            jnp.where(pr, -1, kp_pt_sel[ww, cc]))
     m = m._replace(kf_kp_pt=m.kf_kp_pt.at[kf_sel].set(kp_pt_sel))
     # a point whose observations fall below 2 is DEAD — the reference
     # erases it via MapPoint::EraseObservation -> SetBadFlag (nObs < 2).
@@ -218,7 +253,8 @@ def process_new_keyframe(K, m: MapState, kf_id, scale_factors,
     m = run_local_ba(m=m, K=K, kf_id=kf_id,
                      window=cfg.caps.local_window_kf, n_fixed=8,
                      inv_sigma2_lvl=inv_sigma2_lvl,
-                     pt_cap=cfg.caps.local_pt_cap, W_row=W_row)
+                     pt_cap=cfg.caps.local_pt_cap, W_row=W_row,
+                     obs_cap=cfg.caps.local_obs_per_kf)
     m = map_ops.cull_keyframes(
         m, kf_id, scale_condition=cfg.mapping.kf_cull_scale_condition,
         n_levels=cfg.orb.n_levels, W_row=W_row)

@@ -58,13 +58,28 @@ class BAProblem(NamedTuple):
     obs_valid: jnp.ndarray
 
 
-def _residual_jacobians(K: Intrinsics, prob: BAProblem, kf_pose, pt_xyz):
+def _residual_jacobians(K: Intrinsics, prob: BAProblem, kf_pose, pt_xyz,
+                        block_n: int | None = None):
     """Per-obs residuals r [O,3], pose Jacobian Jc [O,3,6], point Jacobian
-    Jp [O,3,3], stereo mask, camera-frame depth."""
-    T = kf_pose[prob.obs_kf]          # [O, 4, 4]
-    pw = pt_xyz[prob.obs_pt]          # [O, 3]
-    R = T[..., :3, :3]
-    pc = jnp.einsum('oij,oj->oi', R, pw) + T[..., :3, 3]
+    Jp [O,3,3], stereo mask, camera-frame depth.
+
+    block_n: when the observation slab is [Kk, block_n] row-major, the
+    per-observation pose is a BROADCAST over each KF's block instead of a
+    gather. This matters enormously: XLA's TPU backend lowers the
+    `kf_pose[obs_kf]` gather of [3,3]/[1,3] slices as a SERIAL while-loop
+    of 82k dynamic-slices — profiled at ~240 ms per LM iteration, ~95%
+    of the whole local-BA time at KITTI caps. The blocked broadcast is a
+    plain einsum."""
+    if block_n is not None:
+        Kk = kf_pose.shape[0]
+        pw_b = pt_xyz[prob.obs_pt].reshape(Kk, block_n, 3)
+        R_b = kf_pose[:, :3, :3]
+        pc = (jnp.einsum('kij,knj->kni', R_b, pw_b)
+              + kf_pose[:, None, :3, 3]).reshape(-1, 3)
+    else:
+        T = kf_pose[prob.obs_kf]      # [O, 4, 4]
+        pw = pt_xyz[prob.obs_pt]      # [O, 3]
+        pc = jnp.einsum('oij,oj->oi', T[..., :3, :3], pw) + T[..., :3, 3]
     x, y = pc[..., 0], pc[..., 1]
     z = jnp.maximum(pc[..., 2], 1e-6)
     iz = 1.0 / z
@@ -87,7 +102,12 @@ def _residual_jacobians(K: Intrinsics, prob: BAProblem, kf_pose, pt_xyz):
         jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3)),
         -se3.hat(pc)], axis=-1)       # [O, 3, 6]
     Jc = -(dproj @ dpc_dxi)           # [O, 3, 6]
-    Jp = -(dproj @ R)                 # d pc/d pw = R -> [O, 3, 3]
+    if block_n is not None:
+        Jp = -jnp.einsum('knij,kjl->knil',
+                         dproj.reshape(Kk, block_n, 3, 3),
+                         R_b).reshape(-1, 3, 3)
+    else:
+        Jp = -(dproj @ T[..., :3, :3])  # d pc/d pw = R -> [O, 3, 3]
     return r, Jc, Jp, stereo, pc[..., 2]
 
 
@@ -120,12 +140,13 @@ def _spd_inv3(H):
 
 
 def _robust_cost(K: Intrinsics, prob: BAProblem, kf_pose, pt_xyz,
-                 chi2_mono, chi2_stereo, psum):
+                 chi2_mono, chi2_stereo, psum, block_n=None):
     """Total Huber cost over live observations (the LM acceptance metric).
     Points behind a camera carry a large penalty instead of silently
     leaving the live set — otherwise a step that pushes points to z<0
     reads as a cost decrease."""
-    r, _, _, stereo, z = _residual_jacobians(K, prob, kf_pose, pt_xyz)
+    r, _, _, stereo, z = _residual_jacobians(K, prob, kf_pose, pt_xyz,
+                                             block_n=block_n)
     e2 = jnp.where(stereo, jnp.sum(r * r, -1),
                    r[..., 0] ** 2 + r[..., 1] ** 2)
     chi2 = e2 * prob.obs_inv_sigma2
@@ -194,11 +215,23 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
         return psum(jax.ops.segment_sum(vals, prob.obs_pt,
                                         num_segments=prob.pt_xyz.shape[0]))
 
+    def per_obs_kf(vals):
+        """vals [Kk, ...] -> per-observation [O, ...]. Blocked layout:
+        broadcast (free); otherwise a gather — which XLA can serialize
+        into a dynamic-slice loop for multi-dim rows (see
+        _residual_jacobians), so blocked callers must never hit it."""
+        if block_n is not None:
+            return jnp.broadcast_to(
+                vals[:, None], (Kk, block_n) + vals.shape[1:]
+            ).reshape((-1,) + vals.shape[1:])
+        return vals[prob.obs_kf]
+
     free_kf = (~prob.kf_fixed) & prob.kf_valid
 
     def one_iter(_, carry):
         kf_pose, pt_xyz, lam, cost = carry
-        r, Jc, Jp, stereo, z = _residual_jacobians(K, prob, kf_pose, pt_xyz)
+        r, Jc, Jp, stereo, z = _residual_jacobians(K, prob, kf_pose, pt_xyz,
+                                                   block_n=block_n)
         w, _ = _weights(prob, r, stereo, z, chi2_mono, chi2_stereo, robust)
 
         Jcw = Jc * w[:, None, None]
@@ -230,7 +263,7 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
             xc = jnp.where(free_kf[:, None], xc, 0.0)
             out = jnp.einsum('kij,kj->ki', Hcc, xc)
             # t_p = sum_obs Jp^T W Jc x[kf] = sum Wcp^T x
-            tp = seg_pt(jnp.einsum('okl,ok->ol', Wcp, xc[prob.obs_kf]))
+            tp = seg_pt(jnp.einsum('okl,ok->ol', Wcp, per_obs_kf(xc)))
             yp = jnp.einsum('pkl,pl->pk', Hpp_inv, tp)
             out = out - seg_kf(jnp.einsum('okl,ol->ok', Wcp, yp[prob.obs_pt]))
             return jnp.where(free_kf[:, None], out, 0.0)
@@ -262,7 +295,7 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
         dxc, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, state0)
 
         # Back-substitute points: dxp = Hpp^-1 (bp - Wcp^T dxc)
-        tp = seg_pt(jnp.einsum('okl,ok->ol', Wcp, dxc[prob.obs_kf]))
+        tp = seg_pt(jnp.einsum('okl,ok->ol', Wcp, per_obs_kf(dxc)))
         dxp = jnp.einsum('pkl,pl->pk', Hpp_inv, bp - tp)
         dxp = jnp.where(prob.pt_valid[:, None], dxp, 0.0)
 
@@ -273,8 +306,9 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
         # (scale-free; healthy updates are orders of magnitude smaller).
         obs_w = jnp.where(w > 0, 1.0, 0.0)
         n_obs_pt = seg_pt(obs_w)
-        cams = -jnp.einsum('oji,oj->oi', kf_pose[prob.obs_kf, :3, :3],
-                           kf_pose[prob.obs_kf, :3, 3])
+        cam_per_kf = -jnp.einsum('kji,kj->ki', kf_pose[:, :3, :3],
+                                 kf_pose[:, :3, 3])            # [K, 3]
+        cams = per_obs_kf(cam_per_kf)
         mean_cam = seg_pt(cams * obs_w[:, None]) \
             / jnp.maximum(n_obs_pt[:, None], 1.0)
         d_pt = jnp.linalg.norm(pt_xyz - mean_cam, axis=-1)
@@ -296,7 +330,8 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
 
         # LM step control: accept only cost-decreasing candidates
         cand_cost = _robust_cost(K, prob, cand_pose, cand_pt,
-                                 chi2_mono, chi2_stereo, psum)
+                                 chi2_mono, chi2_stereo, psum,
+                                 block_n=block_n)
         accept = cand_cost < cost
         kf_pose = jnp.where(accept, cand_pose, kf_pose)
         pt_xyz = jnp.where(accept, cand_pt, pt_xyz)
@@ -306,17 +341,38 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
         return kf_pose, pt_xyz, lam, cost
 
     cost0 = _robust_cost(K, prob, prob.kf_pose, prob.pt_xyz,
-                         chi2_mono, chi2_stereo, psum)
-    kf_pose, pt_xyz, _, _ = jax.lax.fori_loop(
-        0, n_iters, one_iter,
-        (prob.kf_pose, prob.pt_xyz, jnp.asarray(damping, prob.pt_xyz.dtype),
-         cost0))
+                         chi2_mono, chi2_stereo, psum, block_n=block_n)
+
+    # while_loop with convergence exit, not fori_loop: each LM iteration
+    # costs ~40 O-sized HBM sweeps, and a near-optimal map (the common
+    # steady-state case — local BA runs at every keyframe) converges in
+    # 2-4 iterations; the remaining iterations were pure waste. Exit when
+    # an accepted step decreases the cost by < 0.01% (or lambda blew up —
+    # no acceptable step exists).
+    def cond(carry):
+        i, _, _, lam, _, converged = carry
+        return (i < n_iters) & ~converged
+
+    def body(carry):
+        i, kf_pose, pt_xyz, lam, cost, _ = carry
+        kf_pose, pt_xyz, lam, new_cost = one_iter(
+            i, (kf_pose, pt_xyz, lam, cost))
+        accepted = new_cost < cost          # rejected steps keep cost
+        tiny = new_cost > cost * (1.0 - 1e-4)
+        converged = (accepted & tiny) | (lam >= 1e3)
+        return i + 1, kf_pose, pt_xyz, lam, new_cost, converged
+
+    _, kf_pose, pt_xyz, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), prob.kf_pose, prob.pt_xyz,
+         jnp.asarray(damping, prob.pt_xyz.dtype), cost0, jnp.bool_(False)))
     return kf_pose, pt_xyz
 
 
-def ba_chi2(K: Intrinsics, prob: BAProblem, kf_pose, pt_xyz):
+def ba_chi2(K: Intrinsics, prob: BAProblem, kf_pose, pt_xyz, block_n=None):
     """Per-observation chi2 + depth at current estimate (for pruning)."""
-    r, _, _, stereo, z = _residual_jacobians(K, prob, kf_pose, pt_xyz)
+    r, _, _, stereo, z = _residual_jacobians(K, prob, kf_pose, pt_xyz,
+                                             block_n=block_n)
     e2 = jnp.where(stereo, jnp.sum(r * r, -1), r[..., 0] ** 2 + r[..., 1] ** 2)
     return e2 * prob.obs_inv_sigma2, z, stereo
 
@@ -335,7 +391,8 @@ def local_ba(K: Intrinsics, prob: BAProblem,
     kf_pose, pt_xyz = ba_iterate(K, prob, iters1, chi2_mono, chi2_stereo,
                                  comm_axis=comm_axis, block_n=block_n,
                                  pt_obs_slot=pt_obs_slot)
-    chi2, z, stereo = ba_chi2(K, prob._replace(), kf_pose, pt_xyz)
+    chi2, z, stereo = ba_chi2(K, prob._replace(), kf_pose, pt_xyz,
+                              block_n=block_n)
     gate = jnp.where(stereo, chi2_stereo, chi2_mono)
     keep = prob.obs_valid & (chi2 <= gate) & (z > 0)
     prob2 = prob._replace(kf_pose=kf_pose, pt_xyz=pt_xyz, obs_valid=keep)
@@ -343,7 +400,7 @@ def local_ba(K: Intrinsics, prob: BAProblem,
                                  comm_axis=comm_axis, block_n=block_n,
                                  pt_obs_slot=pt_obs_slot)
     # final prune mask for the caller to erase observations
-    chi2, z, stereo = ba_chi2(K, prob2, kf_pose, pt_xyz)
+    chi2, z, stereo = ba_chi2(K, prob2, kf_pose, pt_xyz, block_n=block_n)
     keep2 = keep & (chi2 <= gate) & (z > 0)
     return kf_pose, pt_xyz, keep2
 
