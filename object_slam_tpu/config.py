@@ -294,7 +294,7 @@ class SlamConfig:
             fps=10.0, bf=386.1448, th_depth=35.0, depth_map_factor=1.0)
         orb = OrbConfig(n_features=2000)
         caps = CapacityConfig(n_kp=2048, max_points=65536,
-                              max_keyframes=1024, local_pt_cap=16384,
+                              max_keyframes=1024, local_pt_cap=8192,
                               local_obs_per_kf=1024)
         return SlamConfig(camera=cam, orb=orb, caps=caps,
                           sensor="stereo", indoor=False)

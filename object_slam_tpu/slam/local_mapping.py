@@ -99,12 +99,19 @@ def build_local_ba_problem(m: MapState, kf_id, window: int, n_fixed: int,
             obs_valid=obs_valid.reshape(-1))
         return prob, kf_sel, sel_ok, None, None, None, None
 
-    # --- compact the point slab: [P] -> [pt_cap]
+    # --- compact the point slab: [P] -> [pt_cap] by cumsum-scatter (a
+    # top_k over P=65536 lowered to an 85 ms partial-sort while-loop;
+    # order-preserving cumsum compaction is one O(P) sweep)
     Lp = min(pt_cap, P)
-    _, lidx = jax.lax.top_k(pt_local.astype(jnp.float32), Lp)  # first Lp locals
-    l_ok = pt_local[lidx]
-    inv = jnp.full((P,), -1, jnp.int32).at[lidx].set(
-        jnp.where(l_ok, jnp.arange(Lp, dtype=jnp.int32), -1))
+    ppos = jnp.cumsum(pt_local.astype(jnp.int32)) - 1
+    p_in = pt_local & (ppos < Lp)
+    lidx = jnp.full((Lp + 1,), 0, jnp.int32).at[
+        jnp.where(p_in, ppos, Lp)].set(
+        jnp.arange(P, dtype=jnp.int32), mode='drop')[:Lp]
+    l_ok = jnp.arange(Lp) < jnp.sum(p_in.astype(jnp.int32))
+    inv = jnp.full((P,), -1, jnp.int32).at[
+        jnp.where(l_ok, lidx, P)].set(
+        jnp.arange(Lp, dtype=jnp.int32), mode='drop')
     obs_pt_l = inv[ptc]                                       # [Wtot, N]
     obs_valid = obs_valid & (obs_pt_l >= 0)                   # spill -> drop
 

@@ -276,8 +276,17 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
             return jnp.where(free_kf[:, None],
                              jnp.einsum('kij,kj->ki', Hcc_inv, v), 0.0)
 
-        def cg_body(_, state):
-            xk, rk, pk, rz = state
+        # CG with a relative-residual exit: the block-Jacobi-preconditioned
+        # 6K-dim reduced system typically converges in ~8 iterations, and
+        # each matvec costs two O-sized sweeps — running a fixed 24 wasted
+        # most of the remaining local-BA time once the serialized gathers
+        # were gone (profiled: the CG fori_loops were 640 of 930 ms).
+        def cg_cond(state):
+            i, _, rk, _, rz = state
+            return (i < cg_iters) & (jnp.sum(rk * rk) > 1e-4 * b_norm2)
+
+        def cg_body(state):
+            i, xk, rk, pk, rz = state
             Ap = S_matvec(pk)
             denom = jnp.sum(pk * Ap)
             alpha = rz / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
@@ -287,12 +296,14 @@ def ba_iterate(K: Intrinsics, prob: BAProblem, n_iters: int,
             rz_new = jnp.sum(rk * zk)
             beta = rz_new / jnp.where(jnp.abs(rz) < 1e-12, 1e-12, rz)
             pk = zk + beta * pk
-            return xk, rk, pk, rz_new
+            return i + 1, xk, rk, pk, rz_new
 
         x0 = jnp.zeros_like(bt)
         z0i = precond(bt)
-        state0 = (x0, bt, z0i, jnp.sum(bt * z0i))
-        dxc, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_body, state0)
+        b_norm2 = jnp.sum(bt * bt)
+        _, dxc, _, _, _ = jax.lax.while_loop(
+            cg_cond, cg_body,
+            (jnp.int32(0), x0, bt, z0i, jnp.sum(bt * z0i)))
 
         # Back-substitute points: dxp = Hpp^-1 (bp - Wcp^T dxc)
         tp = seg_pt(jnp.einsum('okl,ok->ol', Wcp, per_obs_kf(dxc)))
