@@ -203,6 +203,12 @@ class FrameBuilder:
         masks = o2d_mod.unpack_mask_bits(masks_packed, cfg.camera.width)
         gray_l = _to_f32_image(gray_l)
         gray_r = _to_f32_image(gray_r)
+        if rgb is None:
+            # grayscale stereo rigs (KITTI odometry): derive the HSV-
+            # histogram input on DEVICE instead of shipping an HxWx3 f32
+            # tensor per frame (11 MB over the tunnel at KITTI res — the
+            # transfer, not compute, dominated frame build)
+            rgb = jnp.stack([gray_l] * 3, -1)
         rgb = _to_f32_image(rgb)
         kp_l = self.extractor(gray_l)
         kp_r = self.extractor(gray_r)

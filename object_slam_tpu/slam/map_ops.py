@@ -401,30 +401,40 @@ def cull_keyframes(m: MapState, kf_id, n_check: int = 10,
         return (n_tr > 10) & (n_red >= redundancy * n_tr)
 
     is_red = jax.vmap(redundant)(cands) & cand_ok
-    # cull at most one per call (the reference loops; one-per-KF-insert
-    # keeps the map stable and the shapes static)
-    first = jnp.argmax(is_red)
-    do = jnp.any(is_red)
-    victim = jnp.where(do, cands[first], -1)
-    vc = jnp.clip(victim, 0, Kcap - 1)
+    # cull up to max_cull per call (the reference loops over every
+    # candidate; round 3 capped at one victim per pass, which cannot keep
+    # up with the KITTI insertion cadence — ~0.5 KF/frame before culling)
 
-    kf_valid = m.kf_valid.at[vc].set(
-        jnp.where(do, False, m.kf_valid[vc]))
-    kf_kp_pt = m.kf_kp_pt.at[vc].set(
-        jnp.where(do, jnp.full((N,), -1, jnp.int32), m.kf_kp_pt[vc]))
-    # re-parent children of the victim
-    parent_of_victim = m.kf_parent[vc]
-    kf_parent = jnp.where(do & (m.kf_parent == victim),
-                          parent_of_victim, m.kf_parent)
-    # freeze the victim's pose relative to its parent (KeyFrame::mTcp,
-    # SetBadFlag) so trajectory recomposition can hop over the culled KF
-    # even after BA / loop corrections move the parent
-    pv = jnp.clip(parent_of_victim, 0, Kcap - 1)
-    tcp = m.kf_pose[vc] @ se3.inverse(m.kf_pose[pv])
-    kf_tcp = m.kf_tcp.at[vc].set(
-        jnp.where(do & (parent_of_victim >= 0), tcp, m.kf_tcp[vc]))
-    return m._replace(kf_valid=kf_valid, kf_kp_pt=kf_kp_pt,
-                      kf_parent=kf_parent, kf_tcp=kf_tcp)
+    def cull_one(i, carry):
+        m_acc, n_culled = carry
+        victim = cands[i]
+        # the candidates were scored against the pre-cull observation
+        # structure; a stale positive could cull a KF that a previous
+        # victim just made load-bearing — cap the victims per pass
+        do = is_red[i] & m_acc.kf_valid[jnp.clip(victim, 0, Kcap - 1)] \
+            & (n_culled < 3)
+        n_culled = n_culled + do.astype(jnp.int32)
+        vc = jnp.clip(victim, 0, Kcap - 1)
+        kf_valid = m_acc.kf_valid.at[vc].set(
+            jnp.where(do, False, m_acc.kf_valid[vc]))
+        kf_kp_pt = m_acc.kf_kp_pt.at[vc].set(
+            jnp.where(do, jnp.full((N,), -1, jnp.int32), m_acc.kf_kp_pt[vc]))
+        # re-parent children of the victim
+        parent_of_victim = m_acc.kf_parent[vc]
+        kf_parent = jnp.where(do & (m_acc.kf_parent == victim),
+                              parent_of_victim, m_acc.kf_parent)
+        # freeze the victim's pose relative to its parent (KeyFrame::mTcp,
+        # SetBadFlag) so trajectory recomposition can hop over the culled
+        # KF even after BA / loop corrections move the parent
+        pv = jnp.clip(parent_of_victim, 0, Kcap - 1)
+        tcp = m_acc.kf_pose[vc] @ se3.inverse(m_acc.kf_pose[pv])
+        kf_tcp = m_acc.kf_tcp.at[vc].set(
+            jnp.where(do & (parent_of_victim >= 0), tcp, m_acc.kf_tcp[vc]))
+        return m_acc._replace(kf_valid=kf_valid, kf_kp_pt=kf_kp_pt,
+                              kf_parent=kf_parent, kf_tcp=kf_tcp), n_culled
+
+    m, _ = jax.lax.fori_loop(0, n_check, cull_one, (m, jnp.int32(0)))
+    return m
 
 
 def incidence_bool(m: MapState):
@@ -475,10 +485,18 @@ def fuse_into_neighbors(m: MapState, kf_id, n_neighbors: int, K,
     W = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W, -1)
     _, nbrs = jax.lax.top_k(W, n_neighbors)
 
-    def body(i, m_acc):
-        # re-read the source KF's bindings each iteration: a replacement in
-        # a prior neighbor pass may have forwarded some of its points
-        src_pt = m_acc.kf_kp_pt[kf_id]
+    def body(i, carry):
+        # fwd_tot composes replacements across neighbor iterations; the
+        # full [K, N] observation-table rewrite applies ONCE at the end
+        # (profiled: per-iteration apply_replacements was ~75 ms of the
+        # 113 ms fuse pass at KITTI caps — five 2M-row gathers for a
+        # handful of replacements each)
+        m_acc, fwd_tot = carry
+        # the source KF's bindings, with forwarding from prior neighbor
+        # iterations applied on READ (the reference's sequential Replace)
+        src_pt0 = m_acc.kf_kp_pt[kf_id]
+        src_pt = jnp.where(src_pt0 >= 0,
+                           fwd_tot[jnp.clip(src_pt0, 0, P - 1)], -1)
         src_ok = (src_pt >= 0) & m_acc.pt_valid[jnp.clip(src_pt, 0, P - 1)]
         ptc = jnp.clip(src_pt, 0, P - 1)
         pw = m_acc.pt_xyz[ptc]
@@ -497,7 +515,8 @@ def fuse_into_neighbors(m: MapState, kf_id, n_neighbors: int, K,
             m_acc.kf_kp_desc[nb], m_acc.kf_kp_valid[nb],
             radius_per_row=radius, th_dist=th_dist, nn_ratio=None)
         # bind: neighbor keypoint (unmatched) now observes the point
-        row = m_acc.kf_kp_pt[nb]
+        row0 = m_acc.kf_kp_pt[nb]
+        row = jnp.where(row0 >= 0, fwd_tot[jnp.clip(row0, 0, P - 1)], row0)
         mi = jnp.clip(midx, 0, N - 1)
         existing = row[mi]
         fresh = mok & (existing < 0)
@@ -519,9 +538,11 @@ def fuse_into_neighbors(m: MapState, kf_id, n_neighbors: int, K,
         # last scatter wins on (rare) duplicate losers — consistent with the
         # reference's sequential Replace calls
         fwd = fwd.at[lc].set(jnp.where(dup, winner, fwd[lc]))
-        replaced = jnp.zeros((P,), bool).at[lc].max(dup)
-        replaced = replaced & (fwd != jnp.arange(P))
-        m_acc = apply_replacements(m_acc, fwd, replaced)
-        return m_acc
+        # compose: any id already forwarding now follows one more hop
+        fwd_tot = fwd[fwd_tot]
+        return m_acc, fwd_tot
 
-    return jax.lax.fori_loop(0, n_neighbors, body, m)
+    m, fwd_tot = jax.lax.fori_loop(
+        0, n_neighbors, body, (m, jnp.arange(P, dtype=jnp.int32)))
+    replaced = (fwd_tot != jnp.arange(P)) & m.pt_valid
+    return apply_replacements(m, fwd_tot, replaced)

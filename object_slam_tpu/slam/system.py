@@ -740,6 +740,13 @@ class SlamSystem:
         need_kf = p[49] > 0.5
         n_inl = int(p[50])
         self._last_n_inliers = n_inl
+        if os.environ.get("OSLAM_DEBUG"):
+            print(f"[fused] f={self.frame_id - 1} ok={int(p[48])} "
+                  f"need_kf={int(p[49])} inl={n_inl} "
+                  f"matches={int(p[51])} ref_kf={int(p[52])} "
+                  f"close_trk={int(p[53])} close_untrk={int(p[54])} "
+                  f"motion_inl={int(p[55])} n_sem={int(p[56])} "
+                  f"since={self.frames_since_kf}", flush=True)
         if self.objects is not None:
             # N_AllSemanticConstraintNum analogue, from the same packed
             # readback (ObjectOptimizer.cc:23,1233)

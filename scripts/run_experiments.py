@@ -123,17 +123,18 @@ def run_kitti(kitti_dir, max_frames=0):
     gt = kitti.load_groundtruth(os.path.join(kitti_dir, "gt.txt"))
     sem_dir = os.path.join(kitti_dir, "semantic")
 
-    sys_ = SlamSystem(cfg, enable_objects=True, async_mapping=True)
+    # sync mapping (the single-chip operating default) + compact u8
+    # transfer with device-derived HSV input (frame.py _build_stereo)
+    sys_ = SlamSystem(cfg, enable_objects=True, async_mapping=False)
     t0 = time.perf_counter()
     times = []
     for i, fr in enumerate(frames):
-        gl = np.asarray(Image.open(fr.left_path), np.float32)
-        gr = np.asarray(Image.open(fr.right_path), np.float32)
-        rgb = np.stack([gl] * 3, -1)
+        gl = np.asarray(Image.open(fr.left_path), np.uint8)
+        gr = np.asarray(Image.open(fr.right_path), np.uint8)
         sa = kitti.load_semantics(sem_dir, fr.index, cfg)
         tf0 = time.perf_counter()
         f = sys_.track_stereo(jnp.asarray(gl), jnp.asarray(gr),
-                              jnp.asarray(rgb), sa, timestamp=fr.timestamp)
+                              None, sa, timestamp=fr.timestamp)
         times.append(time.perf_counter() - tf0)
         if i % 10 == 0:
             Twc = np.linalg.inv(np.asarray(f.Tcw))

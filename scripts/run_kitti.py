@@ -77,19 +77,19 @@ def main():
     for i, fr in enumerate(frames):
         gl, _, _ = pf.get(2 * i)
         gr, _, _ = pf.get(2 * i + 1)
-        gl = gl.astype(np.float32)
-        gr = gr.astype(np.float32)
         if gl.ndim == 3:
             w = np.array([0.299, 0.587, 0.114], np.float32)
-            gl, gr = gl @ w, gr @ w
-        rgb = np.stack([gl] * 3, -1)
+            gl = (gl @ w).astype(np.uint8)
+            gr = (gr @ w).astype(np.uint8)
         sem_arrays = None
         if args.semantic_dir:
             sem_arrays = kitti.load_semantics(args.semantic_dir, fr.index, cfg)
         tf0 = time.perf_counter()
-        sys_.track_stereo(jnp.asarray(gl), jnp.asarray(gr),
-                          jnp.asarray(rgb), sem_arrays,
-                          timestamp=fr.timestamp)
+        # compact transfer: u8 grayscale pair, no RGB (device derives the
+        # HSV input from the left image — frame.py _build_stereo)
+        sys_.track_stereo(jnp.asarray(gl.astype(np.uint8)),
+                          jnp.asarray(gr.astype(np.uint8)),
+                          None, sem_arrays, timestamp=fr.timestamp)
         times.append(time.perf_counter() - tf0)
         if i % 50 == 0:
             print(f"frame {i}/{len(frames)} kfs={sys_.n_keyframes}",
@@ -111,7 +111,9 @@ def main():
     result = {"frames": len(frames), "fps": len(frames) / total,
               "median_track_ms": float(np.median(times) * 1e3),
               "tracked": int(sum(1 for _, _, ok in traj if ok)),
-              "keyframes": sys_.n_keyframes, "points": sys_.n_points}
+              "keyframes": sys_.n_keyframes,
+              "keyframes_valid": int(np.asarray(sys_.map.kf_valid).sum()),
+              "points": sys_.n_points}
     if sys_.objects is not None:
         result["objects"] = int(np.asarray(sys_.map.obj_valid).sum())
         result["semantic_constraints"] = int(
