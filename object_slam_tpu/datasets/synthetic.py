@@ -375,16 +375,23 @@ class SyntheticScene:
                                        pts_w[..., s['vax']] * sd),
                            img)
         bs = 1.25 * self.uv_scale
-        zs = 0.75 * self.uv_scale
+        # Box UV: both texture coordinates mix ALL THREE world axes with
+        # rank-2 Jacobian on every face. The old mapping (u=x, v=y+0.6z)
+        # was DEGENERATE on x-normal faces — u constant across the face —
+        # so the side faces of roadside boxes (exactly the close surfaces
+        # a passing camera must track) rendered as 1-D vertical stripes
+        # with no FAST corners (visible in the r4 KITTI frames; close-
+        # point retention collapsed there).
+        bu = (pts_w[..., 0] + 0.71 * pts_w[..., 2]) * bs
+        bv = (pts_w[..., 1] + 0.43 * pts_w[..., 2]
+              + 0.23 * pts_w[..., 0]) * bs
         for i, b in enumerate(self.structures):
             mask = hit_struct == i
             if not mask.any():
                 continue
             td = b.get('tex_density', 1.0)
             img = np.where(mask,
-                           _tex_sample(b['tex'], pts_w[..., 0] * bs * td,
-                                       (pts_w[..., 1] * bs
-                                        + pts_w[..., 2] * zs) * td), img)
+                           _tex_sample(b['tex'], bu * td, bv * td), img)
         for i, b in enumerate(self.boxes):
             mask = hit_obj == i
             bt = b['tex']
@@ -393,9 +400,7 @@ class SyntheticScene:
             # finds no corners on the blur — zero object members)
             td = b.get('tex_density', 1.0)
             img = np.where(mask,
-                           _tex_sample(bt, pts_w[..., 0] * bs * td,
-                                       (pts_w[..., 1] * bs
-                                        + pts_w[..., 2] * zs) * td), img)
+                           _tex_sample(bt, bu * td, bv * td), img)
 
         rgb = np.stack([img, img * 0.9, img * 0.8], axis=-1)
         # distinct hue per object for HSV association

@@ -312,11 +312,16 @@ class ObjectEngine:
         # --- outlier rejection + stats for each matched object
         m = self._reject_and_stats(m, matched_obj)
 
-        # --- label-probability membership gate (ObjectTypes.cc:143-148)
+        # --- label-probability membership gate (ObjectTypes.cc:143-148).
+        # One-hot select, not a per-row [P] gather of [P, 16] — XLA's TPU
+        # backend can lower row-indexed gathers as dynamic-slice loops
+        # (the local-BA lesson, solvers/ba.py block_n)
         owner = jnp.clip(m.pt_obj, 0, J - 1)
         owner_lab = m.obj_label[owner]
         oslot = lut[jnp.clip(owner_lab, 0, 255)]
-        prob = m.pt_label_cnt[jnp.arange(P), jnp.clip(oslot, 0, N_LABEL_SLOTS - 1)] \
+        sel = (jnp.arange(N_LABEL_SLOTS)[None, :]
+               == jnp.clip(oslot, 0, N_LABEL_SLOTS - 1)[:, None])
+        prob = jnp.sum(jnp.where(sel, m.pt_label_cnt, 0), axis=1) \
             / jnp.maximum(m.pt_label_tot, 1)
         bad_member = (m.pt_obj >= 0) & (m.pt_label_tot > 2) & \
             (prob < cfg.label_prob_min)

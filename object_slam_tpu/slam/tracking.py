@@ -456,9 +456,15 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
     tr_motion_inl = tr.n_inliers
 
     # --- object association (before local-map tracking, Tracking.cc:453)
+    # — skipped at trace level when the frame carries no detections
+    # (XLA executes one cond branch; detection-free frames pay nothing)
     if obj_hooks is not None:
         assoc_fn, semopt_fn, update_fn = obj_hooks
-        obj3d = assoc_fn(m, frame._replace(Tcw=tr.Tcw), last)
+        has_dets = jnp.any(frame.obj.valid)
+        obj3d = jax.lax.cond(
+            has_dets,
+            lambda: assoc_fn(m, frame._replace(Tcw=tr.Tcw), last),
+            lambda: frame.obj3d)
         frame = frame._replace(obj3d=obj3d)
 
     # --- stage C: local-map tracking
@@ -502,7 +508,9 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
 
     # --- object landmark create/update + map regularization
     # (Tracking.cc:1079-1209, :542) — a pure MapState transform, gated on
-    # a good pose exactly like the reference's bOK gate (Tracking.cc:537)
+    # a good pose exactly like the reference's bOK gate (Tracking.cc:537);
+    # with zero detections every sub-stage is a no-op (no creates, no
+    # votes, no ring writes), so the whole stage skips at trace level
     obj3d_out = frame.obj3d
     if obj_hooks is not None:
         frame_upd = frame._replace(Tcw=tr2.Tcw, kp_pt=tr2.kp_pt)
@@ -511,7 +519,7 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
             return update_fn(m_in, frame_upd)
 
         m, obj3d_out = jax.lax.cond(
-            ok, do_upd, lambda m_in: (m_in, frame.obj3d), m)
+            ok & has_dets, do_upd, lambda m_in: (m_in, frame.obj3d), m)
 
     # --- stage E: keyframe decision (NeedNewKeyFrame, Tracking.cc:1242)
     close = frame.valid & (frame.depth > 0) & (frame.depth < close_depth)

@@ -136,7 +136,11 @@ def _lm_step(K, Tcw, lam, obs, active, chi2_mono, chi2_stereo):
     Tn = jnp.where(good, T2, Tcw)
     lam_n = jnp.where(good, jnp.maximum(lam * 0.5, 1e-9),
                       jnp.minimum(lam * 4.0, 1e6))
-    return Tn, lam_n
+    # converged: an ACCEPTED step improved the cost by <0.01% — further
+    # iterations of this round are no-ops (rejected steps keep iterating:
+    # lambda grew, the next try may land)
+    converged = good & (cost1 > cost0 * (1.0 - 1e-4))
+    return Tn, lam_n, converged
 
 
 def pose_optimize(K: Intrinsics, Tcw0, obs: PoseObs,
@@ -152,11 +156,21 @@ def pose_optimize(K: Intrinsics, Tcw0, obs: PoseObs,
     def round_body(ri, carry):
         Tcw, lam, active = carry
 
-        def it_body(_, c):
-            T, l = c
-            return _lm_step(K, T, l, obs, active, chi2_mono, chi2_stereo)
+        # early-exit LM: steady-state tracking converges in ~3 of the 10
+        # iterations, and each iteration is two full residual/Jacobian
+        # sweeps inside the latency-critical fused program
+        def it_cond(c):
+            i, _, _, conv = c
+            return (i < iters_per_round) & ~conv
 
-        Tcw, lam = jax.lax.fori_loop(0, iters_per_round, it_body, (Tcw, lam))
+        def it_body(c):
+            i, T, l, _ = c
+            T, l, conv = _lm_step(K, T, l, obs, active,
+                                  chi2_mono, chi2_stereo)
+            return i + 1, T, l, conv
+
+        _, Tcw, lam, _ = jax.lax.while_loop(
+            it_cond, it_body, (jnp.int32(0), Tcw, lam, jnp.bool_(False)))
         # re-gate: recompute chi2 at the new pose over ALL valid edges so
         # edges can re-enter (matches Optimizer.cc:408-440 setLevel toggling)
         r, _, stereo, z = reproj_residual_jac(K, Tcw, obs)
