@@ -17,6 +17,8 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Optional
 
+import numpy as _np
+
 import jax
 import jax.numpy as jnp
 
@@ -128,11 +130,11 @@ class FrameBuilder:
         """
         import numpy as np
         if sem_arrays is None or not np.any(np.asarray(sem_arrays[4])):
-            return self._rgbd_noobj(gray, depth_img, jnp.float32(timestamp),
+            return self._rgbd_noobj(gray, depth_img, _np.float32(timestamp),
                                     rgb if gray is None else None)
         return self._rgbd(gray, depth_img, rgb,
                           *self.pack_sem_arrays(sem_arrays),
-                          jnp.float32(timestamp))
+                          _np.float32(timestamp))
 
     def pack_sem_arrays(self, sem_arrays):
         """Bit-pack the mask slab for transfer (idempotent)."""
@@ -195,7 +197,7 @@ class FrameBuilder:
     def build_stereo(self, gray_l, gray_r, rgb, sem_arrays, timestamp):
         return self._stereo(gray_l, gray_r, rgb,
                             *self.pack_sem_arrays(sem_arrays),
-                            jnp.float32(timestamp))
+                            _np.float32(timestamp))
 
     def _build_stereo(self, gray_l, gray_r, rgb, masks_packed, labels, probs,
                       bboxes, inst_valid, timestamp) -> FrameData:
@@ -235,7 +237,7 @@ class FrameBuilder:
     def build_mono(self, gray, timestamp):
         """Monocular frame: no depth, no virtual right, no objects (the
         reference's object pipeline requires depth — System.cc:334-338)."""
-        return self._mono(gray, jnp.float32(timestamp))
+        return self._mono(gray, _np.float32(timestamp))
 
     def _build_mono(self, gray, timestamp) -> FrameData:
         gray = _to_f32_image(gray)

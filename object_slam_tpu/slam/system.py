@@ -209,7 +209,7 @@ class _AsyncMapping:
 
     def dispatch(self, m: MapState, kf_id: int):
         m_in = jax.device_put(m, self.device) if self.device else m
-        res = self.fn(m_in, jnp.int32(kf_id))
+        res = self.fn(m_in, np.int32(kf_id))
         self.pending = (res, m.pt_visible, m.pt_found,
                         m.pt_label_cnt, m.pt_label_tot)
         self.pending_kf = kf_id
@@ -434,12 +434,17 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _track(self, frame: FrameData):
         cfg = self.cfg
-        # fold in the previous fused frame's lagged result FIRST: its
-        # host->device copy landed while this frame was built, so the
-        # read is ~free, and the state machine (KF insertion, LOST)
-        # catches up before this frame routes
-        self._resolve_fused_pending()
         self._last_presem_Tcw = None   # set by the host semopt path only
+        if self.enable_mapping and self.state == OK and cfg.tracking.fused:
+            # one-sync fused program, objects on or off. Routed BEFORE
+            # resolving the previous frame's lagged readback: the dispatch
+            # must go out first or the device idles a full completion
+            # round trip per frame (see _track_fused). The state check is
+            # one frame stale — a pending LOST costs one wasted dispatch.
+            return self._track_fused(frame)
+        # non-fused paths: fold in any lagged fused result first so the
+        # state machine (KF insertion, LOST) is current
+        self._resolve_fused_pending()
         if self.state == NOT_INITIALIZED:
             n_depth = int(jnp.sum((frame.depth > 0) & frame.valid))
             if n_depth > 100:
@@ -621,8 +626,8 @@ class SlamSystem:
             with self.profiler.span("track.kf_policy"):
                 pol = np.asarray(self._jit_kf_policy(
                     self.map, frame.depth, frame.kp_pt, frame.valid,
-                    jnp.int32(max(self.last_kf_id, 0)),
-                    jnp.int32(3 if self.n_keyframes > 2 else 1)))
+                    np.int32(max(self.last_kf_id, 0)),
+                    np.int32(3 if self.n_keyframes > 2 else 1)))
             n_close_trk, n_close_untrk, ref_matches = (int(x) for x in pol)
             if os.environ.get("OSLAM_DEBUG"):
                 print(f"[kf-policy] f={self.frame_id} inl={n_inl} "
@@ -696,10 +701,10 @@ class SlamSystem:
         last = self.last_frame
         with self.profiler.span("track.fused"):
             self.map, tr2, obj3d, packed, vel, okd = self._jit_fused(
-                self.map, frame, last, jnp.asarray(self.velocity),
-                jnp.int32(max(self.last_kf_id, 0)),
-                jnp.int32(self.frames_since_kf), jnp.int32(self.frame_id),
-                jnp.int32(getattr(self, "_kf_inliers", 0)))
+                self.map, frame, last, self.velocity,
+                np.int32(max(self.last_kf_id, 0)),
+                np.int32(self.frames_since_kf), np.int32(self.frame_id),
+                np.int32(getattr(self, "_kf_inliers", 0)))
         if self.objects is not None:
             frame = frame._replace(obj3d=obj3d)
         frame = frame._replace(Tcw=tr2.Tcw, kp_pt=tr2.kp_pt, pose_ok=okd)
@@ -714,23 +719,41 @@ class SlamSystem:
             packed.copy_to_host_async()
         except AttributeError:
             pass
+        prev = self._fused_pending
         self._fused_pending = {"packed": packed, "frame": frame,
-                               "ts": self._host_ts}
+                               "ts": self._host_ts, "fid": self.frame_id}
         self.last_frame = frame
         self.frame_id += 1
+        # resolve the PREVIOUS frame only now — AFTER this frame's
+        # dispatch went out. Resolve blocks on the previous packed
+        # readback (program completion + tunnel round trip); with the
+        # round-3 resolve-first order the device sat idle that whole
+        # wait, every frame (~20 of 40 ms measured in the loop trace).
+        # Dispatch-first keeps the queue fed; the previous frame's KF
+        # insertion then lands AFTER this frame's tracking program, which
+        # is safe: the insert only adds a KF row + spawns points, and
+        # this frame's updates never reference them.
+        if prev is not None:
+            self._resolve_one(prev, latest=False)
         if not self.cfg.tracking.pipelined_readback:
             self._resolve_fused_pending()
             return self.last_frame
         return frame
 
     def _resolve_fused_pending(self):
-        """Consume the lagged packed result of the last fused dispatch —
-        the per-frame host bookkeeping (trajectory record, state machine,
-        KF insertion + mapping + loop detection, relocalization)."""
+        """Consume the lagged packed result of the newest fused dispatch —
+        strict catch-up for mode switches, state queries, and shutdown."""
         pend = self._fused_pending
         if pend is None:
             return
         self._fused_pending = None
+        self._resolve_one(pend, latest=True)
+
+    def _resolve_one(self, pend, latest: bool):
+        """Per-frame host bookkeeping for one fused dispatch (trajectory
+        record, state machine, KF insertion + mapping + loop detection,
+        relocalization). latest=False means a newer frame is already
+        in flight: last_frame must not be rolled back to this one."""
         cfg = self.cfg
         frame = pend["frame"]
         with self.profiler.span("track.resolve"):
@@ -741,7 +764,7 @@ class SlamSystem:
         n_inl = int(p[50])
         self._last_n_inliers = n_inl
         if os.environ.get("OSLAM_DEBUG"):
-            print(f"[fused] f={self.frame_id - 1} ok={int(p[48])} "
+            print(f"[fused] f={pend['fid']} ok={int(p[48])} "
                   f"need_kf={int(p[49])} inl={n_inl} "
                   f"matches={int(p[51])} ref_kf={int(p[52])} "
                   f"close_trk={int(p[53])} close_untrk={int(p[54])} "
@@ -759,7 +782,8 @@ class SlamSystem:
                 self.state = LOST
                 self.velocity = np.eye(4, dtype=np.float32)
                 self._record_np(pend["ts"], Tcw_np, False)
-                self.last_frame = frame
+                if latest:
+                    self.last_frame = frame
                 return
             frame = frame._replace(Tcw=tr_rel.Tcw, kp_pt=tr_rel.kp_pt)
             Tcw_np = np.asarray(tr_rel.Tcw)
@@ -789,7 +813,7 @@ class SlamSystem:
                 self._async.dispatch(self.map, int(kf_id))
             else:
                 with self.profiler.span("mapping.process_kf"):
-                    self.map = self._jit_mapping(self.map, jnp.int32(kf_id))
+                    self.map = self._jit_mapping(self.map, np.int32(kf_id))
                 if self.loop_closer is not None:
                     with self.profiler.span("loop.on_keyframe"):
                         self.map, _ = self.loop_closer.on_keyframe(
@@ -808,7 +832,8 @@ class SlamSystem:
                                          p[32:48].reshape(4, 4), True)
         else:
             self._record_np(pend["ts"], Tcw_np, False)
-        self.last_frame = frame
+        if latest:
+            self.last_frame = frame
 
     def _record_precomputed(self, timestamp, Tcw_np, Tcr_np, tracked):
         self.trajectory.append(FrameRecord(
@@ -849,7 +874,7 @@ class SlamSystem:
                     if not cand_np[kf]:
                         break
                     self.rng, k = jax.random.split(self.rng)
-                    tr = self._jit_reloc_try(m, frame, jnp.int32(kf), k)
+                    tr = self._jit_reloc_try(m, frame, np.int32(kf), k)
                     if int(tr.n_inliers) >= 50:
                         return tr
                 return None
