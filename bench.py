@@ -107,14 +107,13 @@ def bench_core():
     return n_iters / (time.perf_counter() - t0)
 
 
-def _render_frames(cfg, n_frames):
+def _render_frames(cfg, n_frames, builder):
     """Pre-render on host so the timed loop measures SLAM, not the
-    ray-caster; compact transfer dtypes (u8 rgb, u16 depth, bit-packed
-    masks, device-side luma) — the production ingestion path
-    (slam/frame.py, semantic/object2d.py pack_mask_bits)."""
+    ray-caster; single-blob transfer layout (u16 depth + u8 rgb +
+    bit-packed masks + detection rows in ONE u8 buffer) — the production
+    ingestion path (FrameBuilder.pack_frame_blob)."""
     from object_slam_tpu.datasets.synthetic import (SyntheticScene,
                                                     orbit_poses)
-    from object_slam_tpu.semantic.object2d import pack_mask_bits
 
     scene = SyntheticScene.make(cfg, seed=3, n_objects=3)
     for b in scene.boxes:
@@ -127,8 +126,8 @@ def _render_frames(cfg, n_frames):
                       0, 65535).astype(np.uint16)
         rgb8 = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8)
         sa = scene.sem_arrays(sem, cfg.semantic.max_instances)
-        sa = (pack_mask_bits(sa[0]),) + tuple(sa[1:])
-        frames.append((d16, rgb8, sa))
+        blob, inst_valid = builder.pack_frame_blob(d16, rgb8, sa)
+        frames.append((blob, inst_valid))
     return frames
 
 
@@ -168,26 +167,21 @@ def bench_full(n_frames: int = 40):
     from object_slam_tpu.slam.system import SlamSystem
 
     cfg = SlamConfig.tum_rgbd()
-    frames = _render_frames(cfg, n_frames)
+    sys0 = SlamSystem(cfg, enable_objects=True)
+    frames = _render_frames(cfg, n_frames, sys0.builder)
 
     def run(device_resident: bool):
         sys_ = SlamSystem(cfg, enable_objects=True)
         dev = jax.devices()[0]
 
         def stage(i):
-            """Issue the frame's host->device transfers ASYNC (device_put
-            returns immediately) — the double-buffered ingest pattern:
-            frame i+1's transfers ride under frame i's device compute
-            instead of serializing ahead of it. On the remote-tunnel
-            chip the serialized per-array puts alone cost ~19 ms/frame
-            (measured round 3)."""
-            d16, rgb8, sem = frames[i]
-            # sem[4] (the 16-bool valid row) STAYS host-side: build_rgbd
-            # branches on it, and reading it back from an in-flight
-            # device copy would stall the overlap this staging buys
-            return (jax.device_put(d16, dev), jax.device_put(rgb8, dev),
-                    tuple(jax.device_put(a, dev) for a in sem[:4])
-                    + (sem[4],))
+            """Issue the frame's host->device transfer ASYNC (device_put
+            returns immediately) — ONE blob per frame: each separate
+            per-array put costs a dispatch RPC on the remote-tunnel chip
+            (six per frame measured as the whole ~20 ms host-in-the-loop
+            gap in round 4; FrameBuilder.pack_frame_blob)."""
+            blob, inst_valid = frames[i]
+            return jax.device_put(blob, dev), inst_valid
 
         staged = None
         if device_resident:
@@ -197,10 +191,10 @@ def bench_full(n_frames: int = 40):
         nxt = staged[0] if device_resident else stage(0)
         for i in range(len(frames)):
             t0 = time.perf_counter()
-            d16, rgb8, sem = nxt
+            blob, inst_valid = nxt
             if i + 1 < len(frames):
                 nxt = (staged[i + 1] if device_resident else stage(i + 1))
-            f = sys_.track_rgbd(None, d16, rgb8, sem, timestamp=i / 30.0)
+            f = sys_.track_rgbd_blob(blob, inst_valid, timestamp=i / 30.0)
             # NO per-frame block: the pipelined tracker self-paces — each
             # call resolves the PREVIOUS frame's landed readback, so the
             # loop can never run more than one frame ahead of the device.

@@ -107,12 +107,15 @@ class FrameBuilder:
             self._rgbd_noobj = jax.jit(self._build_rgbd_noobj)
             self._stereo = jax.jit(self._build_stereo)
             self._mono = jax.jit(self._build_mono)
+            self._rgbd_blob = jax.jit(self._build_rgbd_blob)
+            self._rgbd_blob_noobj = jax.jit(self._build_rgbd_blob_noobj)
             _BUILDER_JIT_CACHE[key] = (self.extractor, self._rgbd,
                                        self._rgbd_noobj, self._stereo,
-                                       self._mono)
+                                       self._mono, self._rgbd_blob,
+                                       self._rgbd_blob_noobj)
         else:
             (self.extractor, self._rgbd, self._rgbd_noobj, self._stereo,
-             self._mono) = cached
+             self._mono, self._rgbd_blob, self._rgbd_blob_noobj) = cached
         self.inv_sigma2 = self.extractor.inv_level_sigma2()
         self.scale_factors = self.extractor.scale_factors()
 
@@ -144,6 +147,76 @@ class FrameBuilder:
                 (hasattr(masks, "dtype") and masks.dtype == jnp.uint8):
             return sem_arrays
         return (o2d_mod.pack_mask_bits(masks),) + tuple(sem_arrays[1:])
+
+    # ------------------------------------------------------------------
+    # single-transfer ingestion: every per-frame tensor in ONE u8 blob
+    # ------------------------------------------------------------------
+    def pack_frame_blob(self, depth16, rgb8, sem_arrays):
+        """Host: concatenate the frame's device-bound tensors (u16 depth,
+        u8 rgb, bit-packed masks, labels/probs/bboxes) into ONE uint8
+        blob. Each separate host->device transfer costs a dispatch RPC on
+        a remote-attached chip (~3-4 ms each; six per frame measured as
+        the whole host-in-the-loop gap); production PCIe pays a DMA setup
+        per buffer the same way. Returns (blob u8[*], inst_valid host
+        bool[I] or None) — inst_valid stays host-side for the
+        object-free-pipeline branch."""
+        cfg = self.cfg
+        I = cfg.semantic.max_instances
+        parts = [_np.ascontiguousarray(depth16, dtype='<u2').tobytes(),
+                 _np.ascontiguousarray(rgb8, dtype=_np.uint8).tobytes()]
+        if sem_arrays is None:
+            blob = _np.frombuffer(b"".join(parts), _np.uint8)
+            return blob, None
+        sem = self.pack_sem_arrays(sem_arrays)
+        masks, labels, probs, bboxes, valid = sem
+        parts += [_np.ascontiguousarray(masks, dtype=_np.uint8).tobytes(),
+                  _np.ascontiguousarray(labels, dtype='<i4').tobytes(),
+                  _np.ascontiguousarray(probs, dtype='<f4').tobytes(),
+                  _np.ascontiguousarray(bboxes, dtype='<f4').tobytes()]
+        blob = _np.frombuffer(b"".join(parts), _np.uint8)
+        return blob, _np.asarray(valid)
+
+    def build_rgbd_blob(self, blob, inst_valid, timestamp):
+        """Jitted single-transfer RGB-D frame build: device-side unpack of
+        pack_frame_blob's layout, then the standard pipeline."""
+        if inst_valid is None or not _np.any(inst_valid):
+            return self._rgbd_blob_noobj(blob, _np.float32(timestamp))
+        return self._rgbd_blob(blob, jnp.asarray(inst_valid),
+                               _np.float32(timestamp))
+
+    def _unpack_blob(self, blob, with_sem: bool):
+        cfg = self.cfg
+        H, W, I = cfg.camera.height, cfg.camera.width, cfg.semantic.max_instances
+        Wb = (W + 7) // 8
+        o0 = H * W * 2
+        d16 = jax.lax.bitcast_convert_type(
+            blob[:o0].reshape(H, W, 2), jnp.uint16)
+        o1 = o0 + H * W * 3
+        rgb8 = blob[o0:o1].reshape(H, W, 3)
+        if not with_sem:
+            return d16, rgb8, None, None, None, None
+        o2 = o1 + I * H * Wb
+        masks = blob[o1:o2].reshape(I, H, Wb)
+        o3 = o2 + I * 4
+        labels = jax.lax.bitcast_convert_type(
+            blob[o2:o3].reshape(I, 4), jnp.int32)
+        o4 = o3 + I * 4
+        probs = jax.lax.bitcast_convert_type(
+            blob[o3:o4].reshape(I, 4), jnp.float32)
+        o5 = o4 + I * 16
+        bboxes = jax.lax.bitcast_convert_type(
+            blob[o4:o5].reshape(I, 4, 4), jnp.float32)
+        return d16, rgb8, masks, labels, probs, bboxes
+
+    def _build_rgbd_blob(self, blob, inst_valid, timestamp) -> FrameData:
+        d16, rgb8, masks, labels, probs, bboxes = self._unpack_blob(
+            blob, with_sem=True)
+        return self._build_rgbd(None, d16, rgb8, masks, labels, probs,
+                                bboxes, inst_valid, timestamp)
+
+    def _build_rgbd_blob_noobj(self, blob, timestamp) -> FrameData:
+        d16, rgb8, _, _, _, _ = self._unpack_blob(blob, with_sem=False)
+        return self._build_rgbd_noobj(None, d16, timestamp, rgb8)
 
     def _build_rgbd_noobj(self, gray, depth_img, timestamp,
                           rgb=None) -> FrameData:

@@ -330,6 +330,15 @@ class SlamSystem:
         self._host_ts = float(timestamp)
         return self._track_and_emit(frame)
 
+    def track_rgbd_blob(self, blob, inst_valid, timestamp=0.0):
+        """Single-transfer RGB-D entry: blob from
+        FrameBuilder.pack_frame_blob (one host->device copy per frame
+        instead of six — each separate transfer costs a dispatch RPC on a
+        remote-attached chip and a DMA setup on PCIe)."""
+        frame = self.builder.build_rgbd_blob(blob, inst_valid, timestamp)
+        self._host_ts = float(timestamp)
+        return self._track_and_emit(frame)
+
     def track_stereo(self, gray_l, gray_r, rgb, sem_arrays=None,
                      timestamp=0.0):
         if sem_arrays is None:

@@ -160,3 +160,51 @@ class TestMaskPacking:
         assert packed[0].dtype == np.uint8
         repacked = b.pack_sem_arrays(packed)
         assert repacked[0] is packed[0]
+
+
+class TestFrameBlob:
+    def test_blob_build_matches_standard_build(self):
+        """The single-transfer blob path must produce the same FrameData
+        as the multi-array path (bitcast layout roundtrip)."""
+        import numpy as np
+        from object_slam_tpu.config import (SlamConfig, OrbConfig,
+                                            CapacityConfig, CameraConfig)
+        from object_slam_tpu.datasets.synthetic import SyntheticScene
+        from object_slam_tpu.slam.frame import FrameBuilder
+        cfg = SlamConfig(
+            camera=CameraConfig(width=160, height=120, fx=130.0, fy=130.0,
+                                cx=80.0, cy=60.0, dist=(0, 0, 0, 0, 0),
+                                bf=13.0, th_depth=40.0,
+                                depth_map_factor=1000.0),
+            orb=OrbConfig(n_features=300, n_levels=4),
+            caps=CapacityConfig(n_kp=384, max_points=8192, max_keyframes=64))
+        scene = SyntheticScene.make(cfg, seed=5, n_objects=2, plane_z=3.0)
+        for b in scene.boxes:
+            b['size'] = 1.0
+            b['center'][2] = 2.0
+        gray, depth, rgb, sem = scene.render_rgbd(np.eye(4, dtype=np.float32))
+        d16 = np.clip(np.asarray(depth) * cfg.camera.depth_map_factor,
+                      0, 65535).astype(np.uint16)
+        rgb8 = np.clip(np.asarray(rgb), 0, 255).astype(np.uint8)
+        sa = scene.sem_arrays(sem, cfg.semantic.max_instances)
+        b_ = FrameBuilder(cfg)
+
+        f_std = b_.build_rgbd(None, jnp.asarray(d16), jnp.asarray(rgb8),
+                              sa, 0.0)
+        blob, inst_valid = b_.pack_frame_blob(d16, rgb8, sa)
+        f_blob = b_.build_rgbd_blob(blob, inst_valid, 0.0)
+        np.testing.assert_array_equal(np.asarray(f_std.uv),
+                                      np.asarray(f_blob.uv))
+        np.testing.assert_array_equal(np.asarray(f_std.desc),
+                                      np.asarray(f_blob.desc))
+        np.testing.assert_allclose(np.asarray(f_std.depth),
+                                   np.asarray(f_blob.depth), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(f_std.obj.label),
+                                      np.asarray(f_blob.obj.label))
+        np.testing.assert_array_equal(np.asarray(f_std.obj.valid),
+                                      np.asarray(f_blob.obj.valid))
+        # no-detection path too
+        blob2, iv2 = b_.pack_frame_blob(d16, rgb8, None)
+        f2 = b_.build_rgbd_blob(blob2, iv2, 0.0)
+        np.testing.assert_array_equal(np.asarray(f_std.uv),
+                                      np.asarray(f2.uv))
