@@ -105,6 +105,8 @@ class SyntheticScene:
     bounds_lo: np.ndarray      # room AABB (for surface clipping)
     bounds_hi: np.ndarray
     uv_scale: float = 80.0     # texture texels per world unit
+    lane: np.ndarray = None    # [N, 3] drive path (street mode): road
+                               # markings render relative to this curve
 
     @staticmethod
     def make(cfg, seed=0, n_objects=2, plane_z=4.0, n_structures=10,
@@ -238,6 +240,7 @@ class SyntheticScene:
                     s['offset'] = floor_y
                     s['tex'] = _smooth_texture(rng, 256)
                     s['tex_density'] = 8.0
+                    s['road'] = True
             plane_z = float(bounds_hi[2])
 
             def _clear_of_path(c, size, margin=2.0):
@@ -303,7 +306,10 @@ class SyntheticScene:
                               plane_z=plane_z, boxes=boxes, rays=rays,
                               surfaces=surfaces, structures=structures,
                               bounds_lo=bounds_lo, bounds_hi=bounds_hi,
-                              uv_scale=80.0 / scale)
+                              uv_scale=80.0 / scale,
+                              lane=(np.asarray(path, np.float64)
+                                    if corridor_len is not None
+                                    and path is not None else None))
 
     # ------------------------------------------------------------------
     def render_rgbd(self, Tcw: np.ndarray):
@@ -374,6 +380,24 @@ class SyntheticScene:
                                        pts_w[..., s['uax']] * sd,
                                        pts_w[..., s['vax']] * sd),
                            img)
+            if s.get('road') and self.lane is not None:
+                # painted lane markings (KITTI asphalt): a dashed center
+                # line and solid edge lines relative to the drive path.
+                # High-contrast paint edges give the near field STABLE
+                # FAST corners at every scale — the smooth asphalt
+                # texture alone re-detects only ~40% of its close
+                # corners between frames under forward motion, and the
+                # close-point budget (kf_decision need_close) starves
+                # without them.
+                lx = np.interp(pts_w[..., 2], self.lane[:, 2],
+                               self.lane[:, 0])
+                dx = pts_w[..., 0] - lx
+                z = pts_w[..., 2]
+                dash = np.mod(z, 4.0) < 2.2
+                center = (np.abs(dx) < 0.12) & dash
+                edges = (np.abs(np.abs(dx) - 3.2) < 0.15)
+                paint = mask & (center | edges)
+                img = np.where(paint, 235.0, img)
         bs = 1.25 * self.uv_scale
         # Box UV: both texture coordinates mix ALL THREE world axes with
         # rank-2 Jacobian on every face. The old mapping (u=x, v=y+0.6z)

@@ -224,9 +224,16 @@ def run_local_ba(K, m: MapState, kf_id, window: int, n_fixed: int,
     # single-observation spawns (n_obs=1 by construction) are candidates
     # under MapPointCulling's recency window, not this rule
     died = (n_pruned > 0) & (pt_n_obs < 2)
+    pt_valid = m.pt_valid & ~died
+    # erase observations of dead points before their rows recycle
+    # (_alloc_indices free-slot allocation)
+    kf_kp_pt2 = jnp.where(
+        (m.kf_kp_pt >= 0) & pt_valid[jnp.clip(m.kf_kp_pt, 0, P - 1)],
+        m.kf_kp_pt, -1)
     m = m._replace(
         pt_n_obs=pt_n_obs,
-        pt_valid=m.pt_valid & ~died,
+        pt_valid=pt_valid,
+        kf_kp_pt=kf_kp_pt2,
         pt_obj=jnp.where(died, -1, m.pt_obj))
     return m
 

@@ -31,13 +31,29 @@ from object_slam_tpu.slam.frame import FrameData
 from object_slam_tpu.slam.map_state import MapState, covisibility, camera_centers
 
 
-def _alloc_indices(cursor, create_mask, capacity):
-    """Compacted allocation: slot index per created row, or capacity (spill
-    row, later dropped) when over capacity / not created."""
-    offs = jnp.cumsum(create_mask.astype(jnp.int32)) - 1
-    idx = cursor + offs
-    ok = create_mask & (idx < capacity)
-    return jnp.where(ok, idx, capacity - 1), ok, cursor + jnp.sum(ok.astype(jnp.int32))
+def _alloc_indices(valid_mask, create_mask, capacity):
+    """FREE-SLOT allocation: the k-th created row takes the k-th INVALID
+    slab row. The round-1..3 monotone cursor never recycled culled
+    points, so a KITTI-scale drive exhausted the 65536-row slab after
+    ~140 keyframes and spawning silently stopped — tracking then starved
+    within ten frames (the mid-sequence collapse of every r3/r4 KITTI
+    run). Callers must clear stale slab references (kf_kp_pt rows of
+    dead points) BEFORE slots recycle — cull_points and run_local_ba do.
+
+    Returns (idx [N], ok [N], n_valid_after [])."""
+    free = ~valid_mask
+    fpos = jnp.cumsum(free.astype(jnp.int32)) - 1
+    free_idx = jnp.full((capacity + 1,), capacity - 1, jnp.int32).at[
+        jnp.where(free, fpos, capacity)].set(
+        jnp.arange(capacity, dtype=jnp.int32), mode='drop')[:capacity]
+    n_free = jnp.sum(free.astype(jnp.int32))
+    cpos = jnp.cumsum(create_mask.astype(jnp.int32)) - 1
+    ok = create_mask & (cpos < n_free)
+    idx = free_idx[jnp.clip(cpos, 0, capacity - 1)]
+    idx = jnp.where(ok, idx, capacity - 1)
+    n_valid = jnp.sum(valid_mask.astype(jnp.int32)) \
+        + jnp.sum(ok.astype(jnp.int32))
+    return idx, ok, n_valid
 
 
 def spawn_points(K, m: MapState, frame: FrameData, kf_id, Tcw,
@@ -48,7 +64,7 @@ def spawn_points(K, m: MapState, frame: FrameData, kf_id, Tcw,
     with the new point ids merged into frame.kp_pt.
     """
     P = m.pt_xyz.shape[0]
-    idx, ok, n_pt = _alloc_indices(m.n_pt, create_mask, P)
+    idx, ok, n_pt = _alloc_indices(m.pt_valid, create_mask, P)
 
     Twc = se3.inverse(Tcw)
     pc = cam_mod.backproject(K, frame.uv, jnp.maximum(frame.depth, 1e-6))
@@ -143,7 +159,14 @@ def cull_points(m: MapState, current_kf_id, min_found_ratio: float = 0.25,
     bad = recent & ((ratio < min_found_ratio) |
                     ((age >= 2) & (m.pt_n_obs < 3)))
     keep = m.pt_valid & ~bad
-    return m._replace(pt_valid=keep,
+    # erase every observation of a dead point: its slab row RECYCLES to
+    # a future spawn (_alloc_indices), and a stale kf_kp_pt entry would
+    # silently re-bind that keypoint to the new point
+    P = m.pt_xyz.shape[0]
+    kf_kp_pt = jnp.where(
+        (m.kf_kp_pt >= 0) & keep[jnp.clip(m.kf_kp_pt, 0, P - 1)],
+        m.kf_kp_pt, -1)
+    return m._replace(pt_valid=keep, kf_kp_pt=kf_kp_pt,
                       pt_obj=jnp.where(keep, m.pt_obj, -1))
 
 
@@ -298,7 +321,7 @@ def triangulate_new_points(m: MapState, kf_id, n_neighbors: int,
 
         # spawn into point slab
         P = m_acc.pt_xyz.shape[0]
-        idx, ok, n_pt = _alloc_indices(m_acc.n_pt, create, P)
+        idx, ok, n_pt = _alloc_indices(m_acc.pt_valid, create, P)
         cam_c = se3.inverse(T1)[:3, 3]
         view = pw - cam_c
         dist = jnp.linalg.norm(view, axis=-1)
