@@ -246,6 +246,10 @@ class CapacityConfig:
     # compact into this many slots (~1/4 of n_kp slots are live; every
     # O-sized sweep inside the LM loop shrinks proportionally)
     local_obs_per_kf: int = 512
+    # per-frame local-map search point cap (select_local_points; the
+    # reference searches ALL local points — recency-first compaction
+    # keeps fresh spawns searchable inside the static shape)
+    local_search_pts: int = 4096
 
 
 @dataclass(frozen=True)
@@ -295,6 +299,7 @@ class SlamConfig:
         orb = OrbConfig(n_features=2000)
         caps = CapacityConfig(n_kp=2048, max_points=65536,
                               max_keyframes=1024, local_pt_cap=8192,
-                              local_obs_per_kf=1024)
+                              local_obs_per_kf=1024,
+                              local_search_pts=8192)
         return SlamConfig(camera=cam, orb=orb, caps=caps,
                           sensor="stereo", indoor=False)

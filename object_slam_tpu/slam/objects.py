@@ -451,7 +451,8 @@ class ObjectEngine:
             inv_sigma2_lvl=jnp.asarray(
                 [1.0 / self.cfg.orb.scale_factor ** (2 * l)
                  for l in range(self.cfg.orb.n_levels)], jnp.float32),
-            log_scale=math.log(self.cfg.orb.scale_factor))
+            log_scale=math.log(self.cfg.orb.scale_factor),
+            local_cap=self.cfg.caps.local_search_pts)
         Tcw, kp_pt, inl, n_sem = self._semopt_impl(m, frame, res)
         # n_sem comes back as a DEVICE scalar so the caller can fetch it
         # packed with the inlier count in one round trip; the caller owns

@@ -116,7 +116,8 @@ class _SystemKernels:
     def _local_impl(self, m, frame, tr, T_last):
         return trk.track_local_map(self.K, m, frame, tr,
                                    self.scale_factors, self.inv_sigma2,
-                                   self.log_scale, T_last=T_last)
+                                   self.log_scale, T_last=T_last,
+                                   local_cap=self.cfg.caps.local_search_pts)
 
     def _insert_impl(self, m, frame, Tcw, kp_pt, close_mask):
         frame = frame._replace(kp_pt=kp_pt)
@@ -159,7 +160,7 @@ class _SystemKernels:
             motion_radius=cfg.tracking.motion_model_radius,
             close_depth=cfg.camera.th_depth * cfg.camera.baseline,
             max_frames_between_kf=cfg.tracking.max_frames_between_kf,
-            obj_hooks=hooks)
+            obj_hooks=hooks, local_cap=cfg.caps.local_search_pts)
 
 
 @dataclass

@@ -279,15 +279,24 @@ def relocalize_try(K, m: MapState, frame: FrameData, kf_id, rng,
 # Stage: local-map tracking
 # ---------------------------------------------------------------------------
 
-def select_local_points(m: MapState, kp_pt, n_local_kf: int = 16):
+def select_local_points(m: MapState, kp_pt, n_local_kf: int = 16,
+                        cap: int = MAX_LOCAL_POINTS):
     """UpdateLocalKeyFrames/Points (Tracking.cc:1460-1604): keyframes that
     share points with the current frame + their covisible neighbors; all
-    their points become the local set, compacted to MAX_LOCAL_POINTS.
+    their points become the local set, compacted to `cap`.
 
     Gather-form voting: a [P] matched-set scatter (N writes) + a [K, N]
     membership gather — this runs EVERY frame inside the fused program,
     and the round-3 form scattered a full [K, P] incidence slab per frame
-    (64 MB and 2M scattered writes at KITTI capacities)."""
+    (64 MB and 2M scattered writes at KITTI capacities).
+
+    Compaction ranks RECENT spawns above established points: ranking by
+    observation count alone let long-lived landmarks crowd every fresh
+    spawn out of the capped set late in a sequence — close-point
+    retention then decayed to ZERO over ~200 KITTI frames (the tracker
+    could never re-find what the keyframes spawned) and the close-budget
+    KF policy spiralled. The reference has no cap at all (it searches
+    every local point); recency-first is the static-shape analogue."""
     Kcap, N = m.kf_kp_pt.shape
     P = m.pt_xyz.shape[0]
     matched = kp_pt >= 0
@@ -307,9 +316,12 @@ def select_local_points(m: MapState, kp_pt, n_local_kf: int = 16):
     local_mask = jnp.zeros((P,), bool).at[
         jnp.clip(sel, 0, P - 1).reshape(-1)].max(sel_ok.reshape(-1))
     local_mask = local_mask & m.pt_valid
-    # compact: strongest = those with most observations
-    score = jnp.where(local_mask, m.pt_n_obs, -1)
-    _, local_pts = jax.lax.top_k(score, min(MAX_LOCAL_POINTS, P))
+    # compact: fresh spawns (created within the last 3 KFs) first, then
+    # by observation count
+    recent = m.pt_first_kf >= m.n_kf - 3
+    score = jnp.where(local_mask,
+                      m.pt_n_obs + jnp.where(recent, 100000, 0), -1)
+    _, local_pts = jax.lax.top_k(score, min(cap, P))
     local_ok = score[local_pts] >= 0
     ref_kf = local_kfs[0]
     return local_pts, local_ok, ref_kf
@@ -318,11 +330,13 @@ def select_local_points(m: MapState, kp_pt, n_local_kf: int = 16):
 def track_local_map(K, m: MapState, frame: FrameData, tr: TrackResult,
                     scale_factors, inv_sigma2_lvl, log_scale: float,
                     radius_th: float = 7.0,
-                    view_cos_limit: float = 0.5, T_last=None):
+                    view_cos_limit: float = 0.5, T_last=None,
+                    local_cap: int = MAX_LOCAL_POINTS):
     """SearchLocalPoints + pose re-optimization (Tracking.cc:1011-1056,
     :1408-1456). Returns (TrackResult, updated map visibility counters,
     ref_kf)."""
-    local_pts, local_ok, ref_kf = select_local_points(m, tr.kp_pt)
+    local_pts, local_ok, ref_kf = select_local_points(m, tr.kp_pt,
+                                                      cap=local_cap)
     pw = m.pt_xyz[local_pts]
 
     ok, uv, z, dist, view_cos = cam_mod.frustum_check(
@@ -386,7 +400,8 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
                       last_kf_inliers,
                       scale_factors, inv_sigma2_lvl, log_scale: float,
                       motion_radius: float, close_depth: float,
-                      max_frames_between_kf: int, obj_hooks=None):
+                      max_frames_between_kf: int, obj_hooks=None,
+                      local_cap: int = MAX_LOCAL_POINTS):
     """The whole per-frame tracking chain as ONE compiled program:
     motion-model (+ wide-window retry) -> reference-KF fallback ->
     [object association] -> local-map tracking -> pre-LOST retry ->
@@ -470,7 +485,7 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
     # --- stage C: local-map tracking
     tr2, m2, ref_kf = track_local_map(
         K, m, frame, tr, scale_factors, inv_sigma2_lvl, log_scale,
-        T_last=last.Tcw)
+        T_last=last.Tcw, local_cap=local_cap)
 
     # --- stage D: pre-LOST retry through the reference KF
     def retry(_):
@@ -478,7 +493,7 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
                                    inv_sigma2_lvl)
         tr2b, m2b, refb = track_local_map(
             K, m, frame, tr_kf, scale_factors, inv_sigma2_lvl, log_scale,
-            T_last=last.Tcw)
+            T_last=last.Tcw, local_cap=local_cap)
         better = tr2b.n_inliers > tr2.n_inliers
         return (_tree_where(better, tr2b, tr2),
                 _tree_where(better, m2b, m2),

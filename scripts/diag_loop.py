@@ -103,6 +103,8 @@ def main():
         kf_pose_errors(m, "before")
         m2, accepted = orig_correct(m, q, l, T12, s12)
         ev["accepted"] = bool(accepted)
+        if lc.events:
+            print("GATE", json.dumps(lc.events[-1]), flush=True)
         kf_pose_errors(m2, "after" if accepted else "after(REJECTED)")
         return m2, accepted
 
