@@ -58,17 +58,22 @@ def ate_rmse(est_xyz, gt_xyz):
     return float(np.sqrt((err ** 2).mean()))
 
 
-def rpe(est_poses, gt_poses, delta: int = 1):
+def rpe(est_poses, gt_poses, delta: int = 1, tracked=None):
     """Relative pose error over a fixed frame delta.
 
-    est_poses, gt_poses: [N, 4, 4] camera-to-world. Returns dict with
-    translational RMSE (m) and rotational RMSE (deg).
+    est_poses, gt_poses: [N, 4, 4] camera-to-world. tracked: optional [N]
+    bool — pairs including an untracked frame are excluded (a LOST frame
+    repeats the last good pose; its pair errors are artifacts of the
+    bookkeeping, not of the estimator, and an RMSE is outlier-dominated).
+    Returns dict with translational/rotational RMSE AND medians.
     """
     est = np.asarray(est_poses, np.float64)
     gt = np.asarray(gt_poses, np.float64)
     n = min(len(est), len(gt)) - delta
     terr, rerr = [], []
     for i in range(n):
+        if tracked is not None and not (tracked[i] and tracked[i + delta]):
+            continue
         de = np.linalg.inv(est[i]) @ est[i + delta]
         dg = np.linalg.inv(gt[i]) @ gt[i + delta]
         e = np.linalg.inv(dg) @ de
@@ -78,4 +83,6 @@ def rpe(est_poses, gt_poses, delta: int = 1):
     return {
         "trans_rmse": float(np.sqrt(np.mean(np.square(terr)))) if terr else 0.0,
         "rot_rmse_deg": float(np.sqrt(np.mean(np.square(rerr)))) if rerr else 0.0,
+        "trans_median": float(np.median(terr)) if terr else 0.0,
+        "rot_median_deg": float(np.median(rerr)) if rerr else 0.0,
     }

@@ -159,9 +159,12 @@ def run_kitti(kitti_dir, max_frames=0):
         "semantic_constraints": sys_.objects.semantic_constraints,
         "ate_rmse": ate_mod.ate_rmse(est[:n], gt[:n, :3, 3]),
     }
+    tracked_mask = np.array([ok for _, _, ok in traj])[:n]
     rpe = ate_mod.rpe(
-        np.array([np.linalg.inv(T) for _, T, _ in traj])[:n], gt[:n])
+        np.array([np.linalg.inv(T) for _, T, _ in traj])[:n], gt[:n],
+        tracked=tracked_mask)
     result.update({"rpe_" + k: v for k, v in rpe.items()})
+    result["tracked"] = int(tracked_mask.sum())
     return result
 
 
@@ -184,16 +187,18 @@ def main():
         metas, frames = load_tum_frames(args.tum, cfg, args.max_frames)
         print(f"tum: {len(frames)} frames loaded", flush=True)
         for name, kw in [
-                ("t200_a", dict(enable_objects=True, async_mapping=True)),
-                ("t200_b", dict(enable_objects=True, async_mapping=True)),
-                ("t200_c", dict(enable_objects=True, async_mapping=True)),
-                ("t200_noobj", dict(enable_objects=False,
-                                    async_mapping=True)),
+                # determinism pair (identical inputs, sync, objects on)
+                ("t200_a", dict(enable_objects=True, async_mapping=False)),
+                ("t200_b", dict(enable_objects=True, async_mapping=False)),
+                # the objects A/B (sync both sides)
                 ("t200_noobj_sync", dict(enable_objects=False,
                                          async_mapping=False)),
-                ("t200_sync", dict(enable_objects=True,
-                                   async_mapping=False)),
-                ("t200_loop", dict(enable_objects=True, async_mapping=True,
+                # the async-mapping A/B side
+                ("t200_async", dict(enable_objects=True,
+                                    async_mapping=True)),
+                # loop module on the low-drift circuit (gate should
+                # reject or be ATE-neutral)
+                ("t200_loop", dict(enable_objects=True, async_mapping=False,
                                    enable_loop=True)),
         ]:
             if name in skip:

@@ -123,8 +123,10 @@ def main():
         est = np.array([np.linalg.inv(T)[:3, 3] for _, T, _ in traj])
         n = min(len(est), len(gt))
         result["ate_rmse"] = ate_mod.ate_rmse(est[:n], gt[:n, :3, 3])
+        tracked_mask = np.array([ok for _, _, ok in traj])[:n]
         rpe = ate_mod.rpe(
-            np.array([np.linalg.inv(T) for _, T, _ in traj])[:n], gt[:n])
+            np.array([np.linalg.inv(T) for _, T, _ in traj])[:n], gt[:n],
+            tracked=tracked_mask)
         result.update({"rpe_" + k: v for k, v in rpe.items()})
     print(json.dumps(result))
 
