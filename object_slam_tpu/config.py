@@ -223,6 +223,15 @@ class MappingConfig:
     # finer scale (scaleLevel <= scaleLevel+1, LocalMapping.cc:672-683);
     # False = scale-free counting (strictly more aggressive culling).
     kf_cull_scale_condition: bool = False
+    # mbAbortBA analogue (LocalMapping.cc:119, Optimizer.cc:660-707):
+    # when keyframes arrive faster than `ba_abort_pressure_gap` frames
+    # apart, the reference's tracker interrupts the in-flight local BA —
+    # on KITTI-rate forward motion its local BA rarely completes the full
+    # optimize(5)+prune+optimize(10) schedule. Here the same contract is
+    # a second compiled mapping program with the abbreviated schedule
+    # `ba_abort_iters`; 0 disables (full schedule always — VGA default).
+    ba_abort_pressure_gap: int = 0
+    ba_abort_iters: tuple = (5, 0)
 
 
 @dataclass(frozen=True)
@@ -301,5 +310,9 @@ class SlamConfig:
                               max_keyframes=1024, local_pt_cap=8192,
                               local_obs_per_kf=1024,
                               local_search_pts=8192)
-        return SlamConfig(camera=cam, orb=orb, caps=caps,
+        # KITTI-rate forward motion inserts keyframes every 1-3 frames —
+        # the regime where the reference's tracker interrupts local BA
+        # (mbAbortBA) nearly every pass; see MappingConfig.ba_abort_*.
+        mapping = MappingConfig(ba_abort_pressure_gap=3)
+        return SlamConfig(camera=cam, orb=orb, caps=caps, mapping=mapping,
                           sensor="stereo", indoor=False)

@@ -89,18 +89,30 @@ def search_by_projection(proj_uv, proj_level, proj_desc, proj_valid,
                          radius_per_row, th_dist: int = 100,
                          nn_ratio: float | None = 0.9,
                          level_window: int = 1,
-                         kp_ur=None, proj_ur=None, r_ur=None):
+                         kp_ur=None, proj_ur=None, r_ur=None,
+                         lvl_lo=None, lvl_hi=None):
     """Generic projection-window search (SearchByProjection family).
 
     Rows = things being searched (map points / last-frame features) with a
     predicted image location, scale level and descriptor; columns = current
     frame keypoints. Returns (match_idx [M] int32 (-1 = none), match_mask).
+
+    lvl_lo/lvl_hi: optional per-row inclusive level bounds overriding the
+    symmetric `level_window` — the frame-to-frame search under forward
+    motion accepts any level >= last (the point LOOMS one pyramid level
+    per ~1.2x depth ratio; ORBmatcher.cc:1341-1360 passes nLastOctave as
+    minLevel with no max, and the mirror for backward motion).
     """
     dist = hamming_matrix(proj_desc, kp_desc)
     du = jnp.abs(proj_uv[:, None, 0] - kp_uv[None, :, 0])
     dv = jnp.abs(proj_uv[:, None, 1] - kp_uv[None, :, 1])
     window = (du < radius_per_row[:, None]) & (dv < radius_per_row[:, None])
-    lvl_ok = (jnp.abs(kp_level[None, :] - proj_level[:, None]) <= level_window)
+    if lvl_lo is not None:
+        lvl_ok = ((kp_level[None, :] >= lvl_lo[:, None])
+                  & (kp_level[None, :] <= lvl_hi[:, None]))
+    else:
+        lvl_ok = (jnp.abs(kp_level[None, :] - proj_level[:, None])
+                  <= level_window)
     mask = window & lvl_ok & proj_valid[:, None] & kp_valid[None, :]
     if kp_ur is not None and proj_ur is not None and r_ur is not None:
         # stereo right-u gate (ORBmatcher.cc:1385-1395)

@@ -239,7 +239,7 @@ def run_local_ba(K, m: MapState, kf_id, window: int, n_fixed: int,
 
 
 def process_new_keyframe(K, m: MapState, kf_id, scale_factors,
-                         inv_sigma2_lvl, cfg) -> MapState:
+                         inv_sigma2_lvl, cfg, ba_iters=None) -> MapState:
     """The LocalMapping pipeline for one keyframe.
 
     The covisibility row for kf_id is computed ONCE and shared by all
@@ -248,6 +248,10 @@ def process_new_keyframe(K, m: MapState, kf_id, scale_factors,
     Mid-pass observation changes shift the weights slightly; neighbor
     SELECTION tolerates the staleness (the reference also selects from
     incrementally-maintained connection lists, LocalMapping.cc:208,455).
+
+    ba_iters: optional (iters1, iters2) override of the local-BA LM
+    schedule — the under-pressure variant of the reference's mbAbortBA
+    interruption (config.MappingConfig.ba_abort_*).
     """
     W_row = covisibility(m)[kf_id]
     m = map_ops.cull_points(m, kf_id,
@@ -264,9 +268,11 @@ def process_new_keyframe(K, m: MapState, kf_id, scale_factors,
     # (LocalMapping::SearchInNeighbors tail, LocalMapping.cc:540-552)
     if cfg.mapping.reelect_descriptors:
         m = recompute_point_stats(m)
+    it1, it2 = ba_iters if ba_iters is not None else (5, 10)
     m = run_local_ba(m=m, K=K, kf_id=kf_id,
                      window=cfg.caps.local_window_kf, n_fixed=8,
                      inv_sigma2_lvl=inv_sigma2_lvl,
+                     iters1=it1, iters2=it2,
                      pt_cap=cfg.caps.local_pt_cap, W_row=W_row,
                      obs_cap=cfg.caps.local_obs_per_kf)
     m = map_ops.cull_keyframes(

@@ -65,6 +65,7 @@ class _SystemKernels:
         self.local = jax.jit(self._local_impl)
         self.insert = jax.jit(self._insert_impl)
         self.mapping = jax.jit(self._mapping_impl)
+        self.mapping_fast = jax.jit(self._mapping_fast_impl)
         self.reloc_try = jax.jit(self._reloc_try_impl)
         self.fused = jax.jit(self._fused_impl)
         self.kf_policy = jax.jit(self._kf_policy_impl)
@@ -138,6 +139,15 @@ class _SystemKernels:
     def _mapping_impl(self, m, kf_id):
         return local_mapping.process_new_keyframe(
             self.K, m, kf_id, self.scale_factors, self.inv_sigma2, self.cfg)
+
+    def _mapping_fast_impl(self, m, kf_id):
+        """The under-pressure mapping pass: abbreviated local-BA schedule
+        (the mbAbortBA interruption analogue, config.MappingConfig
+        ba_abort_*) — dispatched when keyframes arrive faster than
+        ba_abort_pressure_gap frames apart."""
+        return local_mapping.process_new_keyframe(
+            self.K, m, kf_id, self.scale_factors, self.inv_sigma2, self.cfg,
+            ba_iters=tuple(self.cfg.mapping.ba_abort_iters))
 
     def _reloc_try_impl(self, m, frame, kf_id, rng):
         return trk.relocalize_try(self.K, m, frame, kf_id, rng,
@@ -309,6 +319,7 @@ class SlamSystem:
         self._jit_local = kern.local
         self._jit_insert = kern.insert
         self._jit_mapping = kern.mapping
+        self._jit_mapping_fast = kern.mapping_fast
         self._jit_reloc_try = kern.reloc_try
         self._jit_fused = kern.fused
         self._jit_kf_policy = kern.kf_policy
@@ -669,6 +680,7 @@ class SlamSystem:
                 # Tracking.cc:1352-1396) — without this, matches decay no
                 # matter how many keyframes spawn
                 frame = frame._replace(kp_pt=self.map.kf_kp_pt[int(kf_id)])
+                kf_gap = self.frames_since_kf
                 self.last_kf_id = int(kf_id)
                 self.frames_since_kf = 0
                 self._kf_inliers = n_inl
@@ -677,8 +689,8 @@ class SlamSystem:
                         self._async.dispatch(self.map, int(kf_id))
                 else:
                     with self.profiler.span("mapping.process_kf"):
-                        self.map = self._jit_mapping(self.map,
-                                                     jnp.int32(kf_id))
+                        self.map = self._mapping_fn(kf_gap)(
+                            self.map, jnp.int32(kf_id))
                     if self.loop_closer is not None:
                         with self.profiler.span("loop.on_keyframe"):
                             self.map, closed = self.loop_closer.on_keyframe(
@@ -816,6 +828,7 @@ class SlamSystem:
             self.map, kf_id = self._jit_insert(
                 self.map, frame, frame.Tcw, frame.kp_pt, spawn)
             frame = frame._replace(kp_pt=self.map.kf_kp_pt[int(kf_id)])
+            kf_gap = self.frames_since_kf
             self.last_kf_id = int(kf_id)
             self.frames_since_kf = 0
             self._kf_inliers = n_inl
@@ -823,7 +836,8 @@ class SlamSystem:
                 self._async.dispatch(self.map, int(kf_id))
             else:
                 with self.profiler.span("mapping.process_kf"):
-                    self.map = self._jit_mapping(self.map, np.int32(kf_id))
+                    self.map = self._mapping_fn(kf_gap)(self.map,
+                                                        np.int32(kf_id))
                 if self.loop_closer is not None:
                     with self.profiler.span("loop.on_keyframe"):
                         self.map, _ = self.loop_closer.on_keyframe(
@@ -925,6 +939,18 @@ class SlamSystem:
         self.trajectory.append(FrameRecord(
             timestamp=float(frame.timestamp), Tcw=Tcw, ref_kf=ref,
             Tcr=Tcr, tracked=tracked))
+
+    def _mapping_fn(self, kf_gap: int):
+        """Pick the full or abbreviated mapping program (the mbAbortBA
+        interruption analogue): when this keyframe arrived within
+        ba_abort_pressure_gap frames of the previous one, the tracker is
+        outrunning the mapper and the local BA runs its abbreviated
+        schedule exactly as the reference's interrupt would cut it short
+        (LocalMapping.cc:119; config.MappingConfig.ba_abort_*)."""
+        gap_cfg = self.cfg.mapping.ba_abort_pressure_gap
+        if gap_cfg > 0 and kf_gap < gap_cfg:
+            return self._jit_mapping_fast
+        return self._jit_mapping
 
     def flush_mapping(self):
         """Fold any in-flight async mapping pass into the live map (the

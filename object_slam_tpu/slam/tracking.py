@@ -44,6 +44,28 @@ class TrackResult(NamedTuple):
 # Stage: motion-model tracking
 # ---------------------------------------------------------------------------
 
+def _motion_level_bounds(K, T_pred, T_last, last_level, n_levels):
+    """Per-row pyramid-level search bounds for the frame-to-frame search
+    (ORBmatcher.cc:1341-1360): under FORWARD motion (current camera center
+    more than one baseline ahead in the last camera's frame) a close point
+    looms roughly one pyramid level per frame, so the window is one-sided
+    and unbounded upward [last, n_levels); BACKWARD mirrors it; otherwise
+    the symmetric +-1 window. Returns (lvl_lo, lvl_hi) [N] int32 or
+    (None, None) when no last pose is available to classify the motion."""
+    if T_last is None:
+        return None, None
+    baseline = K.bf / K.fx
+    cw = -T_pred[:3, :3].T @ T_pred[:3, 3]      # current camera center (world)
+    tlc_z = (T_last[2, :3] @ cw + T_last[2, 3])
+    forward = tlc_z > baseline
+    backward = tlc_z < -baseline
+    lo = jnp.where(forward, last_level,
+                   jnp.where(backward, 0, last_level - 1))
+    hi = jnp.where(forward, n_levels - 1,
+                   jnp.where(backward, last_level, last_level + 1))
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
+
+
 def track_motion_model(K, m: MapState, frame: FrameData,
                        last_uv, last_pt, last_level, last_valid,
                        T_pred, scale_factors, inv_sigma2_lvl,
@@ -68,11 +90,14 @@ def track_motion_model(K, m: MapState, frame: FrameData,
     radius = radius_th * scale_factors[lvl]
     ur_pred = uv[:, 0] - K.bf / jnp.maximum(pc[:, 2], 1e-6)
 
+    lvl_lo, lvl_hi = _motion_level_bounds(K, T_pred, T_last, lvl,
+                                          scale_factors.shape[0])
     midx, mok = matching.search_by_projection(
         uv, last_level, m.pt_desc[ptc], rows_ok,
         frame.uv, frame.level, frame.desc, frame.valid,
         radius_per_row=radius, th_dist=100, nn_ratio=None,
-        kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius)
+        kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius,
+        lvl_lo=lvl_lo, lvl_hi=lvl_hi)
 
     # build per-keypoint match table
     N = frame.uv.shape[0]
@@ -144,11 +169,14 @@ def track_motion_model_vo(K, m: MapState, frame: FrameData,
     radius = radius_th * scale_factors[lvl]
     ur_pred = uv[:, 0] - K.bf / jnp.maximum(pc[:, 2], 1e-6)
 
+    lvl_lo, lvl_hi = _motion_level_bounds(K, T_pred, last.Tcw, lvl,
+                                          scale_factors.shape[0])
     midx, mok = matching.search_by_projection(
         uv, last.level, desc, rows_ok,
         frame.uv, frame.level, frame.desc, frame.valid,
         radius_per_row=radius, th_dist=100, nn_ratio=None,
-        kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius)
+        kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius,
+        lvl_lo=lvl_lo, lvl_hi=lvl_hi)
 
     tgt = jnp.clip(midx, 0, N - 1)
     kp_pw = jnp.zeros((N, 3), pw.dtype)

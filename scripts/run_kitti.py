@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--platform", default=None, choices=["cpu", "axon"],
                     help="force the JAX backend (config.update beats the "
                          "sitecustomized jax_platforms).")
+    ap.add_argument("--viz-dir", default=None,
+                    help="write the interactive 3D map page (MapDrawer "
+                         "analogue, viz/map_viewer.py) to this directory")
     args = ap.parse_args()
 
     import jax
@@ -96,6 +99,13 @@ def main():
                   flush=True)
     total = time.perf_counter() - t0
     pf.close()
+
+    if args.viz_dir:
+        from object_slam_tpu.viz.map_viewer import export_map_html
+        sys_.flush_mapping()
+        print("map viewer:", export_map_html(
+            sys_.map, trajectory=sys_.trajectory,
+            path=os.path.join(args.viz_dir, "map.html")))
 
     os.makedirs(args.out, exist_ok=True)
     traj = sys_.final_trajectory()

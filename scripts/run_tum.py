@@ -146,6 +146,12 @@ def main():
     total = time.perf_counter() - t0
     if scrub is not None:
         print("scrubber:", scrub.write())
+    if args.viz_dir:
+        from object_slam_tpu.viz.map_viewer import export_map_html
+        sys_.flush_mapping()
+        print("map viewer:", export_map_html(
+            sys_.map, trajectory=sys_.trajectory,
+            path=os.path.join(args.viz_dir, "map.html")))
     pf.close()
     if metrics is not None:
         metrics.close()

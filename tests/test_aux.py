@@ -157,6 +157,26 @@ class TestMetricsStream:
         assert all(r["track_ms"] > 0 for r in recs)
 
 
+class TestMapViewer:
+    def test_export_map_html(self, tmp_path):
+        """Interactive 3D map page — the MapDrawer analogue
+        (MapDrawer.cc:83-178,251-356; viz/map_viewer.py): embeds points,
+        keyframe poses, spanning tree, object AABBs, and the trajectory
+        with layer toggles and a map-growth time slider."""
+        from object_slam_tpu.viz.map_viewer import export_map_html
+        m = populated_map()
+        traj = [np.eye(4), np.eye(4)]
+        p = export_map_html(m, trajectory=traj,
+                            path=str(tmp_path / "viz" / "map.html"))
+        assert os.path.isfile(p)
+        html = open(p).read()
+        # data payload present: object label, point array, kf block
+        assert '"label": 56' in html
+        assert '"pts":' in html and '"kf":' in html and '"tree":' in html
+        # interaction + layers survive the template substitution
+        assert "orbit" in html and "Lobj" in html and "time" in html
+
+
 class TestScrubber:
     def test_writes_pngs_and_html(self, tmp_path):
         """Offline HTML scrubber — the step-by-step viewer analogue
