@@ -23,4 +23,24 @@ Layers (mirrors SURVEY.md §1 capabilities, TPU-first shapes):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# f32 matmuls/einsums on the TPU MXU default to ONE bf16 pass (inputs
+# rounded to 8 significand bits). Every geometry transform here is an f32
+# matmul (se3.apply `p @ R.T`, pose composition, the BA/pose-opt einsum
+# chains), and at outdoor-trajectory coordinates the input rounding alone
+# is ~0.2% — ~0.3 m on a point 150 m down the KITTI corridor, i.e. multi-
+# pixel reprojection noise that read as tracking drift and BA jitter
+# (measured: the street-canyon drive collapsed on TPU at f~105 while the
+# bit-identical frame pipeline tracked 300/300 on CPU; BENCHMARKS.md
+# "Stereo / KITTI"). Force full-f32 matmul precision process-wide; the
+# throughput-critical matmuls (BRIEF projection, covisibility, HSV
+# histograms) pass EXPLICIT bf16 inputs that are exact by construction
+# ({0,1}/int-valued), so this costs only the small geometry products.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("OSLAM_MATMUL_PRECISION", "highest"))
+
 from object_slam_tpu.config import SlamConfig  # noqa: F401

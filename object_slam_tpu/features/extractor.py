@@ -196,7 +196,12 @@ def _brief_from_patches(patches, angles, D):
     n = patches.shape[0]
     n_bins = D.shape[1] // 256
     flat = patches.reshape(n, PATCH * PATCH).astype(jnp.bfloat16)
-    vals = jnp.dot(flat, D, preferred_element_type=jnp.float32)
+    # DEFAULT precision: the inputs are ALREADY bf16 by design (the bit
+    # threshold tolerates the 0.2% intensity rounding; measured r3) — the
+    # package-wide "highest" default targets f32 geometry matmuls and
+    # would only force this hot product into a multi-pass upcast
+    vals = jnp.dot(flat, D, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
     vals = vals.reshape(n, n_bins, 256)
     bin_idx = jnp.mod(jnp.round(angles / (2.0 * jnp.pi) * n_bins)
                       .astype(jnp.int32), n_bins)

@@ -90,7 +90,8 @@ def search_by_projection(proj_uv, proj_level, proj_desc, proj_valid,
                          nn_ratio: float | None = 0.9,
                          level_window: int = 1,
                          kp_ur=None, proj_ur=None, r_ur=None,
-                         lvl_lo=None, lvl_hi=None):
+                         lvl_lo=None, lvl_hi=None,
+                         angle_a=None, angle_b=None):
     """Generic projection-window search (SearchByProjection family).
 
     Rows = things being searched (map points / last-frame features) with a
@@ -133,6 +134,14 @@ def search_by_projection(proj_uv, proj_level, proj_desc, proj_valid,
         ratio_fail = same_lvl & (best.astype(jnp.float32) >=
                                  nn_ratio * second.astype(jnp.float32))
         matched = matched & ~ratio_fail
+    if angle_a is not None and angle_b is not None:
+        # rotation-histogram consistency — the reference applies it to
+        # the frame-to-frame search (mbCheckOrientation,
+        # ORBmatcher.cc:1437-1457): keep only matches whose orientation
+        # delta falls in the 3 dominant histogram bins. This prunes the
+        # cross-level aliases the widened forward-motion level window
+        # admits (same texture, different corner).
+        matched = rotation_consistency(angle_a, angle_b[best_idx], matched)
     matched = resolve_duplicates(best_idx, best, matched, kp_uv.shape[0])
     return jnp.where(matched, best_idx, -1), matched
 

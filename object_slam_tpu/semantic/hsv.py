@@ -67,7 +67,11 @@ def batched_histograms_hsv(hsv_img, masks):
     I = masks.shape[0]
     oh = _bin_onehot(hsv_img)                              # [HW, 94]
     mf = masks.reshape(I, -1).astype(jnp.bfloat16)         # [I, HW]
-    hist = jnp.dot(mf, oh, preferred_element_type=jnp.float32)
+    # DEFAULT precision: {0,1}-valued bf16 inputs are exact in one MXU
+    # pass (see covisibility(); the global "highest" default targets f32
+    # geometry matmuls)
+    hist = jnp.dot(mf, oh, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
     return hist / jnp.maximum(jnp.sum(hist, axis=-1, keepdims=True), 1e-9)
 
 

@@ -158,7 +158,12 @@ def covisibility(m: MapState):
     """[K, K] int32 shared-point counts (diagonal zeroed) — the reference's
     covisibility weights (KeyFrame.cc:289-379) as one MXU matmul."""
     A = incidence(m).astype(jnp.bfloat16)
-    W = jnp.dot(A, A.T, preferred_element_type=jnp.float32).astype(jnp.int32)
+    # explicit DEFAULT precision: {0,1} bf16 inputs are exact on the MXU
+    # in one pass; the package-wide "highest" default (object_slam_tpu/
+    # __init__.py) exists for f32 GEOMETRY products and would only slow
+    # this [K,P]x[P,K] product down
+    W = jnp.dot(A, A.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT).astype(jnp.int32)
     return W * (1 - jnp.eye(W.shape[0], dtype=jnp.int32))
 
 

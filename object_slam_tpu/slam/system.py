@@ -99,11 +99,11 @@ class _SystemKernels:
         return m, kf_id, kp_pt
 
     def _motion_impl(self, m, frame, last_uv, last_pt, last_level,
-                     last_valid, T_pred, radius, T_last):
+                     last_valid, T_pred, radius, T_last, last_angle):
         return trk.track_motion_model(
             self.K, m, frame, last_uv, last_pt, last_level, last_valid,
             T_pred, self.scale_factors, self.inv_sigma2, radius_th=radius,
-            T_last=T_last)
+            T_last=T_last, last_angle=last_angle)
 
     def _motion_vo_impl(self, m, frame, last, T_pred):
         return trk.track_motion_model_vo(
@@ -509,7 +509,7 @@ class SlamSystem:
                 tr = self._jit_motion(self.map, frame, last.uv, last.kp_pt,
                                       last.level, last.valid, T_pred,
                                       cfg.tracking.motion_model_radius,
-                                      last.Tcw)
+                                      last.Tcw, last.angle)
                 # ONE packed pull for both gate scalars (each separate
                 # int() costs a full RTT on a remote-attached chip)
                 nm, ni = (int(x) for x in np.asarray(
@@ -519,7 +519,8 @@ class SlamSystem:
                     tr = self._jit_motion(
                         self.map, frame, last.uv, last.kp_pt,
                         last.level, last.valid, T_pred,
-                        2.0 * cfg.tracking.motion_model_radius, last.Tcw)
+                        2.0 * cfg.tracking.motion_model_radius, last.Tcw,
+                        last.angle)
                     nm, ni = (int(x) for x in np.asarray(
                         jnp.stack([tr.n_matches, tr.n_inliers])))
         if not self.enable_mapping:

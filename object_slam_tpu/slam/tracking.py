@@ -59,10 +59,17 @@ def _motion_level_bounds(K, T_pred, T_last, last_level, n_levels):
     tlc_z = (T_last[2, :3] @ cw + T_last[2, 3])
     forward = tlc_z > baseline
     backward = tlc_z < -baseline
-    lo = jnp.where(forward, last_level,
+    # Measured deviation from the reference's hard one-sided window
+    # (minLevel = nLastOctave exactly): detection level jitters +-1 even
+    # under pure looming, and the -1 bucket held MORE recoverable matches
+    # than all >= +2 buckets combined on the KITTI probe
+    # (scripts/diag_kitti_retention.py: symmetric+-1 62.6%, one-sided
+    # from last-1 68.3%) — so the open end keeps the reference semantics
+    # and the closed end keeps the +-1 jitter tolerance.
+    lo = jnp.where(forward, last_level - 1,
                    jnp.where(backward, 0, last_level - 1))
     hi = jnp.where(forward, n_levels - 1,
-                   jnp.where(backward, last_level, last_level + 1))
+                   jnp.where(backward, last_level + 1, last_level + 1))
     return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
@@ -70,7 +77,8 @@ def track_motion_model(K, m: MapState, frame: FrameData,
                        last_uv, last_pt, last_level, last_valid,
                        T_pred, scale_factors, inv_sigma2_lvl,
                        radius_th: float = 15.0,
-                       min_matches: int = 20, T_last=None) -> TrackResult:
+                       min_matches: int = 20, T_last=None,
+                       last_angle=None) -> TrackResult:
     """SearchByProjection(cur, last) + PoseOptimization
     (Tracking.cc:948-1009, ORBmatcher.cc:1328-1470).
 
@@ -97,7 +105,8 @@ def track_motion_model(K, m: MapState, frame: FrameData,
         frame.uv, frame.level, frame.desc, frame.valid,
         radius_per_row=radius, th_dist=100, nn_ratio=None,
         kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius,
-        lvl_lo=lvl_lo, lvl_hi=lvl_hi)
+        lvl_lo=lvl_lo, lvl_hi=lvl_hi,
+        angle_a=last_angle, angle_b=frame.angle)
 
     # build per-keypoint match table
     N = frame.uv.shape[0]
@@ -176,7 +185,8 @@ def track_motion_model_vo(K, m: MapState, frame: FrameData,
         frame.uv, frame.level, frame.desc, frame.valid,
         radius_per_row=radius, th_dist=100, nn_ratio=None,
         kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius,
-        lvl_lo=lvl_lo, lvl_hi=lvl_hi)
+        lvl_lo=lvl_lo, lvl_hi=lvl_hi,
+        angle_a=last.angle, angle_b=frame.angle)
 
     tgt = jnp.clip(midx, 0, N - 1)
     kp_pw = jnp.zeros((N, 3), pw.dtype)
@@ -477,13 +487,14 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
     tr = track_motion_model(
         K, m, frame, last.uv, last.kp_pt, last.level, last.valid,
         T_pred, scale_factors, inv_sigma2_lvl, radius_th=motion_radius,
-        T_last=last.Tcw)
+        T_last=last.Tcw, last_angle=last.angle)
 
     def wide(_):
         return track_motion_model(
             K, m, frame, last.uv, last.kp_pt, last.level, last.valid,
             T_pred, scale_factors, inv_sigma2_lvl,
-            radius_th=2.0 * motion_radius, T_last=last.Tcw)
+            radius_th=2.0 * motion_radius, T_last=last.Tcw,
+            last_angle=last.angle)
 
     tr = jax.lax.cond(tr.n_matches < 20, wide, lambda _: tr, None)
 

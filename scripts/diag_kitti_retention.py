@@ -118,8 +118,10 @@ def main():
                        <= args.level_window)
 
         # descriptor hamming (u32 words)
-        pb = np.unpackbits(p_desc.view(np.uint8), axis=-1)  # [Np, 256]
-        cb = np.unpackbits(c_desc.view(np.uint8), axis=-1)  # [Nc, 256]
+        pb = np.unpackbits(
+            np.ascontiguousarray(p_desc).view(np.uint8), axis=-1)
+        cb = np.unpackbits(
+            np.ascontiguousarray(c_desc).view(np.uint8), axis=-1)
         ham = (pb[:, None, :] != cb[None, :, :]).sum(-1).astype(np.int32)
         desc_win = ham <= 100
 
