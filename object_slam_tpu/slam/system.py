@@ -197,8 +197,9 @@ class _AsyncMapping:
     commutative overlay, not a lock.
     """
 
-    def __init__(self, fn, device=None, home_device=None):
+    def __init__(self, fn, device=None, home_device=None, fn_fast=None):
         self.fn = fn
+        self.fn_fast = fn_fast or fn
         self.device = device
         self.home = home_device
         self.pending = None
@@ -218,9 +219,12 @@ class _AsyncMapping:
             n_obj=m_now.n_obj, next_track_id=m_now.next_track_id,
             **obj_fields)
 
-    def dispatch(self, m: MapState, kf_id: int):
+    def dispatch(self, m: MapState, kf_id: int, fast: bool = False):
+        """fast=True runs the abbreviated-BA mapping program — the
+        mbAbortBA interruption analogue under keyframe pressure (see
+        SlamSystem._mapping_fn)."""
         m_in = jax.device_put(m, self.device) if self.device else m
-        res = self.fn(m_in, np.int32(kf_id))
+        res = (self.fn_fast if fast else self.fn)(m_in, np.int32(kf_id))
         self.pending = (res, m.pt_visible, m.pt_found,
                         m.pt_label_cnt, m.pt_label_tot)
         self.pending_kf = kf_id
@@ -328,7 +332,8 @@ class SlamSystem:
             devs = jax.devices()
             side = devs[1] if len(devs) > 1 else None
             self._async = _AsyncMapping(self._jit_mapping, device=side,
-                                        home_device=devs[0])
+                                        home_device=devs[0],
+                                        fn_fast=self._jit_mapping_fast)
 
     # ------------------------------------------------------------------
     # public per-frame API
@@ -687,7 +692,10 @@ class SlamSystem:
                 self._kf_inliers = n_inl
                 if self._async is not None:
                     with self.profiler.span("mapping.dispatch"):
-                        self._async.dispatch(self.map, int(kf_id))
+                        self._async.dispatch(
+                            self.map, int(kf_id),
+                            fast=self._mapping_fn(kf_gap)
+                            is self._jit_mapping_fast)
                 else:
                     with self.profiler.span("mapping.process_kf"):
                         self.map = self._mapping_fn(kf_gap)(
@@ -834,7 +842,9 @@ class SlamSystem:
             self.frames_since_kf = 0
             self._kf_inliers = n_inl
             if self._async is not None:
-                self._async.dispatch(self.map, int(kf_id))
+                self._async.dispatch(
+                    self.map, int(kf_id),
+                    fast=self._mapping_fn(kf_gap) is self._jit_mapping_fast)
             else:
                 with self.profiler.span("mapping.process_kf"):
                     self.map = self._mapping_fn(kf_gap)(self.map,

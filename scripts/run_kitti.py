@@ -38,11 +38,18 @@ def main():
                     help="external DBoW2-text vocabulary (ORBvoc.txt "
                          "format) for --loop; default: the shipped "
                          "corpus-trained vocab_synth.txt")
-    ap.add_argument("--async-mapping", action="store_true",
+    ap.add_argument("--async-mapping", dest="async_mapping",
+                    action="store_true", default=True,
                     help="dispatch keyframe mapping asynchronously on a "
-                         "map snapshot (see run_tum.py --async-mapping: "
-                         "single-chip default is sync, measured A/B in "
-                         "BENCHMARKS.md)")
+                         "map snapshot — the KITTI default: at KITTI-rate "
+                         "keyframe insertion the LocalMapping-thread "
+                         "overlap (System.cc:95) wins BOTH throughput "
+                         "(2.3 vs 1.2 fps) and ATE (0.56 vs 0.71 m) on "
+                         "the 300-frame canyon A/B (BENCHMARKS.md r4)")
+    ap.add_argument("--sync-mapping", dest="async_mapping",
+                    action="store_false",
+                    help="run mapping inline per keyframe (the VGA/TUM "
+                         "single-chip default; A/B in BENCHMARKS.md)")
     ap.add_argument("--platform", default=None, choices=["cpu", "axon"],
                     help="force the JAX backend (config.update beats the "
                          "sitecustomized jax_platforms).")
