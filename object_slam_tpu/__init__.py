@@ -39,8 +39,15 @@ import jax as _jax
 # throughput-critical matmuls (BRIEF projection, covisibility, HSV
 # histograms) pass EXPLICIT bf16 inputs that are exact by construction
 # ({0,1}/int-valued), so this costs only the small geometry products.
-_jax.config.update(
-    "jax_default_matmul_precision",
-    _os.environ.get("OSLAM_MATMUL_PRECISION", "highest"))
+#
+# Defer to the embedding application: if the standard env var or a prior
+# jax.config call already chose a precision, leave it alone.
+# OSLAM_MATMUL_PRECISION remains the explicit escape hatch either way.
+if "OSLAM_MATMUL_PRECISION" in _os.environ:
+    _jax.config.update("jax_default_matmul_precision",
+                       _os.environ["OSLAM_MATMUL_PRECISION"])
+elif (_jax.config.jax_default_matmul_precision is None
+      and "JAX_DEFAULT_MATMUL_PRECISION" not in _os.environ):
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from object_slam_tpu.config import SlamConfig  # noqa: F401

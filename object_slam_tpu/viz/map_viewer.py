@@ -37,7 +37,13 @@ def _collect(m, trajectory, max_points: int, covis_min: int):
     pt_valid = np.asarray(m.pt_valid)
     pt_xyz = np.asarray(m.pt_xyz)[pt_valid]
     pt_obj = np.asarray(m.pt_obj)[pt_valid]
-    pt_first = np.asarray(m.pt_first_kf)[pt_valid]
+    # time-slider key: the FRAME id at which the creating KF slot was
+    # inserted (kf_frame_id), not the slot index — slot indices are
+    # recycled after KF culling and misorder the growth replay
+    all_kf_fid = np.asarray(m.kf_frame_id)
+    pt_first_slot = np.asarray(m.pt_first_kf)[pt_valid]
+    pt_first = np.where(pt_first_slot >= 0,
+                        all_kf_fid[np.clip(pt_first_slot, 0, None)], -1)
     if pt_xyz.shape[0] > max_points:
         # deterministic decimation: keep every k-th in slab order
         step = int(np.ceil(pt_xyz.shape[0] / max_points))
@@ -100,7 +106,7 @@ def _collect(m, trajectory, max_points: int, covis_min: int):
         "pt_obj": [int(x) for x in pt_obj],
         "pt_first": [int(x) for x in pt_first],
         "kf": [_round3(T) for T in kf_twc],
-        "kf_id": [int(k) for k in kf_ids],
+        "kf_id": [int(f) for f in all_kf_fid[kf_ids]],  # creation frame ids
         "tree": tree,
         "loops": loops,
         "covis": covis,
@@ -124,6 +130,7 @@ _PAGE = r"""<!DOCTYPE html>
  <label><input type="checkbox" id="Lkf" checked> keyframes</label>
  <label><input type="checkbox" id="Ltree" checked> spanning tree</label>
  <label><input type="checkbox" id="Lcov"> covisibility</label>
+ <label><input type="checkbox" id="Lloop" checked> loop edges</label>
  <label><input type="checkbox" id="Lobj" checked> objects</label>
  <label><input type="checkbox" id="Ltraj" checked> trajectory</label>
  <br>time <input type="range" id="time" min="0" max="1000" value="1000">
@@ -233,11 +240,12 @@ function draw(){
       line([D.kf[a][0][3],D.kf[a][1][3],D.kf[a][2][3]],
            [D.kf[b][0][3],D.kf[b][1][3],D.kf[b][2][3]],'#335',0.5);
     }
-  for (const [a,b] of D.loops){
-    if (D.kf_id[a]>tkf||D.kf_id[b]>tkf) continue;
-    line([D.kf[a][0][3],D.kf[a][1][3],D.kf[a][2][3]],
-         [D.kf[b][0][3],D.kf[b][1][3],D.kf[b][2][3]],'#e44',2);
-  }
+  if (document.getElementById('Lloop').checked)
+    for (const [a,b] of D.loops){
+      if (D.kf_id[a]>tkf||D.kf_id[b]>tkf) continue;
+      line([D.kf[a][0][3],D.kf[a][1][3],D.kf[a][2][3]],
+           [D.kf[b][0][3],D.kf[b][1][3],D.kf[b][2][3]],'#e44',2);
+    }
   if (document.getElementById('Lkf').checked)
     for (let i=0;i<D.kf.length;i++){
       if (D.kf_id[i]>tkf) continue;

@@ -68,7 +68,8 @@ def main():
     def run(async_mapping):
         sys_ = SlamSystem(cfg, enable_objects=True,
                           async_mapping=async_mapping)
-        lags = []
+        lags = []  # frames-since-dispatch, one sample per frame with a pass in flight
+        dispatch_frame, last_pending_kf = -1, -1
         t0 = time.perf_counter()
         times = []
         for i, (T, (gray, depth, rgb, _)) in enumerate(zip(poses,
@@ -77,7 +78,9 @@ def main():
             sys_.track_rgbd(gray, depth, rgb, sems[i], timestamp=i / 30.0)
             times.append(time.perf_counter() - tf0)
             if sys_._async is not None and sys_._async.pending is not None:
-                lags.append(sys_.frame_id - 1)
+                if sys_._async.pending_kf != last_pending_kf:
+                    dispatch_frame, last_pending_kf = i, sys_._async.pending_kf
+                lags.append(i - dispatch_frame)
         total = time.perf_counter() - t0
         sys_.flush_mapping()
         errs = []
@@ -96,6 +99,8 @@ def main():
             "keyframes": sys_.n_keyframes,
             "tracked": sum(1 for r in sys_.trajectory if r.tracked),
             "frames_with_pending_pass": len(lags),
+            "merge_lag_frames_max": int(max(lags)) if lags else 0,
+            "merge_lag_frames_median": float(np.median(lags)) if lags else 0.0,
         }
 
     out = {"n_devices": len(__import__("jax").devices())}
