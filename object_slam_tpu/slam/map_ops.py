@@ -100,11 +100,13 @@ def spawn_points(K, m: MapState, frame: FrameData, kf_id, Tcw,
 
 
 def insert_keyframe(K, m: MapState, frame: FrameData, Tcw,
-                    scale_factors, spawn_close_mask):
+                    scale_factors, spawn_close_mask, frame_id=-1):
     """Write the KF row, record observations, spawn close points.
 
     spawn_close_mask [N]: keypoints that should create new points (close
     depth, not already matched — Tracking.cc:1352-1396).
+    frame_id: the source frame's sequence index (KeyFrame::mnFrameId) —
+    recorded in kf_frame_id for creation-order tooling (map viewer replay).
     Returns (m, kf_id).
     """
     K_cap = m.kf_pose.shape[0]
@@ -130,6 +132,8 @@ def insert_keyframe(K, m: MapState, frame: FrameData, Tcw,
         kf_kp_desc=m.kf_kp_desc.at[kf_id].set(frame.desc),
         kf_kp_valid=m.kf_kp_valid.at[kf_id].set(frame.valid),
         kf_kp_pt=m.kf_kp_pt.at[kf_id].set(jnp.where(obs_ok, kp_pt, -1)),
+        kf_frame_id=m.kf_frame_id.at[kf_id].set(
+            jnp.asarray(frame_id, jnp.int32)),
         n_kf=jnp.minimum(m.n_kf + 1, K_cap))
 
     # spanning-tree parent: strongest covisible earlier KF

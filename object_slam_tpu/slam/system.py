@@ -91,10 +91,11 @@ class _SystemKernels:
         return jnp.stack([n_close_trk, n_close_untrk,
                           ref_matches]).astype(jnp.int32)
 
-    def _stereo_init_impl(self, m, frame):
+    def _stereo_init_impl(self, m, frame, frame_id):
         create = frame.valid & (frame.depth > 0)
         m, kf_id = map_ops.insert_keyframe(
-            self.K, m, frame, jnp.eye(4), self.scale_factors, create)
+            self.K, m, frame, jnp.eye(4), self.scale_factors, create,
+            frame_id=frame_id)
         kp_pt = m.kf_kp_pt[kf_id]
         return m, kf_id, kp_pt
 
@@ -120,7 +121,7 @@ class _SystemKernels:
                                    self.log_scale, T_last=T_last,
                                    local_cap=self.cfg.caps.local_search_pts)
 
-    def _insert_impl(self, m, frame, Tcw, kp_pt, close_mask):
+    def _insert_impl(self, m, frame, Tcw, kp_pt, close_mask, frame_id):
         frame = frame._replace(kp_pt=kp_pt)
         # CreateNewKeyFrame spawns all close untracked points AND tops up
         # with the nearest untracked points to >= 100 regardless of the
@@ -134,7 +135,8 @@ class _SystemKernels:
         topup = jnp.zeros((N,), bool).at[nearest].set(True) & untracked
         spawn = close_mask | topup
         return map_ops.insert_keyframe(self.K, m, frame, Tcw,
-                                       self.scale_factors, spawn)
+                                       self.scale_factors, spawn,
+                                       frame_id=frame_id)
 
     def _mapping_impl(self, m, kf_id):
         return local_mapping.process_new_keyframe(
@@ -439,14 +441,15 @@ class SlamSystem:
         ref2 = ref._replace(depth=jnp.where(init.good, pw[:, 2], -1.0))
         self.map, kf0 = self._jit_insert(
             self.map, ref2, jnp.eye(4), jnp.full((N,), -1, jnp.int32),
-            init.good)
+            init.good, np.int32(max(self.frame_id - 1, 0)))
         kp_pt_ref = np.asarray(self.map.kf_kp_pt[int(kf0)])
         # KF1: same points observed at matched indices
         kp_pt1 = jnp.full((N,), -1, jnp.int32)
         kp_pt1 = kp_pt1.at[mi].set(jnp.where(init.good, jnp.asarray(kp_pt_ref),
                                              kp_pt1[mi]))
         self.map, kf1 = self._jit_insert(
-            self.map, frame, T21, kp_pt1, jnp.zeros((N,), bool))
+            self.map, frame, T21, kp_pt1, jnp.zeros((N,), bool),
+            np.int32(self.frame_id))
         frame = frame._replace(Tcw=T21, kp_pt=kp_pt1,
                                pose_ok=jnp.array(True))
         self.state = OK
@@ -474,7 +477,8 @@ class SlamSystem:
         if self.state == NOT_INITIALIZED:
             n_depth = int(jnp.sum((frame.depth > 0) & frame.valid))
             if n_depth > 100:
-                self.map, kf_id, kp_pt = self._jit_stereo_init(self.map, frame)
+                self.map, kf_id, kp_pt = self._jit_stereo_init(
+                    self.map, frame, np.int32(self.frame_id))
                 frame = frame._replace(kp_pt=kp_pt, Tcw=jnp.eye(4),
                                        pose_ok=jnp.array(True))
                 if self.objects is not None:
@@ -679,7 +683,8 @@ class SlamSystem:
                         self.map, _ = self.loop_closer.on_keyframe(
                             self.map, merged_kf)
                 self.map, kf_id = self._jit_insert(
-                    self.map, frame, tr2.Tcw, tr2.kp_pt, spawn)
+                    self.map, frame, tr2.Tcw, tr2.kp_pt, spawn,
+                    np.int32(self.frame_id))
                 # adopt the spawned point bindings into the live frame so
                 # the next frame's motion-model search tracks them
                 # (CreateNewKeyFrame fills mCurrentFrame.mvpMapPoints,
@@ -835,7 +840,8 @@ class SlamSystem:
                     self.map, _ = self.loop_closer.on_keyframe(
                         self.map, merged_kf)
             self.map, kf_id = self._jit_insert(
-                self.map, frame, frame.Tcw, frame.kp_pt, spawn)
+                self.map, frame, frame.Tcw, frame.kp_pt, spawn,
+                np.int32(self.frame_id))
             frame = frame._replace(kp_pt=self.map.kf_kp_pt[int(kf_id)])
             kf_gap = self.frames_since_kf
             self.last_kf_id = int(kf_id)
