@@ -138,6 +138,26 @@ class TrackingConfig:
     motion_model_radius: float = 15.0    # projection search window th (stereo 7)
     min_init_matches: int = 100          # mono two-view bootstrap gate
     min_init_inliers: int = 50           # triangulated-inlier gate
+    # Local-map search (SearchLocalPoints) window widening — 1.0/1 is
+    # reference parity (RadiusByViewingCos * sf[pred], pred±1). The KITTI
+    # profile widens both: the gate-attribution probe
+    # (scripts/diag_local_recovery.py, r5) measured 37.9% of visible
+    # unmatched close points blocked by the radius (half recoverable at
+    # 2x) and 18.9% by the level gate (38% recoverable at ±2) under
+    # 0.8 m/frame looming, where corner localization and detection level
+    # jitter exceed the indoor-tuned windows.
+    local_radius_mult: float = 1.0
+    local_level_window: int = 1
+    # Rotation-histogram consistency on the frame-to-frame motion search
+    # (mbCheckOrientation, ORBmatcher.cc:1437-1457). True is reference
+    # parity. The KITTI profile disables it: the r5 motion-chain probe
+    # (scripts/diag_motion_chain.py) measured the top-3-bin filter
+    # killing 19.5% of close bound rows of which 40% were GT-correct
+    # matches, while the chi^2 pose regate absorbed the re-admitted
+    # aliases — net close-point inliers 39.2% -> 47.3% of bound with the
+    # check off. IC angles on looming road texture jitter across bins;
+    # indoor scenes keep the reference behavior.
+    motion_rot_check: bool = True
     # one-frame-lagged fused readback (slam/system._track_fused): hides
     # the per-frame device->host round trip (~24 ms on a remote-attached
     # chip). False = strict one-sync-per-frame state machine.
@@ -314,5 +334,15 @@ class SlamConfig:
         # the regime where the reference's tracker interrupts local BA
         # (mbAbortBA) nearly every pass; see MappingConfig.ba_abort_*.
         mapping = MappingConfig(ba_abort_pressure_gap=3)
+        # max gap = fps (Tracking.cc:266 mMaxFrames = fps; KITTI is 10 Hz);
+        # min gap 2 suppresses the dispatch-lag duplicate KFs (see
+        # tracking.kf_decision min_gap rationale — measured: 42 KFs/80
+        # frames without it, every close-budget KF followed by a
+        # near-duplicate at t+1)
+        trk = TrackingConfig(max_frames_between_kf=10,
+                             min_frames_between_kf=2,
+                             local_radius_mult=2.0,
+                             local_level_window=2,
+                             motion_rot_check=False)
         return SlamConfig(camera=cam, orb=orb, caps=caps, mapping=mapping,
-                          sensor="stereo", indoor=False)
+                          tracking=trk, sensor="stereo", indoor=False)

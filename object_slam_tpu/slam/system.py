@@ -116,10 +116,12 @@ class _SystemKernels:
                                       self.inv_sigma2)
 
     def _local_impl(self, m, frame, tr, T_last):
-        return trk.track_local_map(self.K, m, frame, tr,
-                                   self.scale_factors, self.inv_sigma2,
-                                   self.log_scale, T_last=T_last,
-                                   local_cap=self.cfg.caps.local_search_pts)
+        return trk.track_local_map(
+            self.K, m, frame, tr, self.scale_factors, self.inv_sigma2,
+            self.log_scale, T_last=T_last,
+            local_cap=self.cfg.caps.local_search_pts,
+            radius_mult=self.cfg.tracking.local_radius_mult,
+            level_window=self.cfg.tracking.local_level_window)
 
     def _insert_impl(self, m, frame, Tcw, kp_pt, close_mask, frame_id):
         frame = frame._replace(kp_pt=kp_pt)
@@ -172,7 +174,10 @@ class _SystemKernels:
             motion_radius=cfg.tracking.motion_model_radius,
             close_depth=cfg.camera.th_depth * cfg.camera.baseline,
             max_frames_between_kf=cfg.tracking.max_frames_between_kf,
-            obj_hooks=hooks, local_cap=cfg.caps.local_search_pts)
+            obj_hooks=hooks, local_cap=cfg.caps.local_search_pts,
+            local_radius_mult=cfg.tracking.local_radius_mult,
+            local_level_window=cfg.tracking.local_level_window,
+            motion_rot_check=cfg.tracking.motion_rot_check)
 
 
 @dataclass
@@ -669,7 +674,8 @@ class SlamSystem:
                     n_inl, ref_matches, n_close_trk, n_close_untrk,
                     self.frames_since_kf,
                     max_frames=cfg.tracking.max_frames_between_kf,
-                    last_kf_inliers=getattr(self, "_kf_inliers", 0)):
+                    last_kf_inliers=getattr(self, "_kf_inliers", 0),
+                    min_gap=cfg.tracking.min_frames_between_kf):
                 close = (frame.depth > 0) & (
                     frame.depth < cfg.camera.th_depth * cfg.camera.baseline)
                 spawn = close & (frame.kp_pt < 0) & frame.valid
@@ -796,12 +802,19 @@ class SlamSystem:
             p = np.asarray(pend["packed"])
         Tcw_np = p[0:16].reshape(4, 4)
         ok = p[48] > 0.5
-        need_kf = p[49] > 0.5
+        # min-gap gate applied HERE, where frames_since_kf is current —
+        # on-device it is one frame stale under pipelined readback (see
+        # track_frame_fused packed[57])
+        need_soft = p[49] > 0.5
+        need_hard = len(p) > 57 and p[57] > 0.5
+        need_kf = bool(need_hard) or (
+            bool(need_soft)
+            and self.frames_since_kf >= cfg.tracking.min_frames_between_kf)
         n_inl = int(p[50])
         self._last_n_inliers = n_inl
         if os.environ.get("OSLAM_DEBUG"):
             print(f"[fused] f={pend['fid']} ok={int(p[48])} "
-                  f"need_kf={int(p[49])} inl={n_inl} "
+                  f"need_kf={int(need_kf)} inl={n_inl} "
                   f"matches={int(p[51])} ref_kf={int(p[52])} "
                   f"close_trk={int(p[53])} close_untrk={int(p[54])} "
                   f"motion_inl={int(p[55])} n_sem={int(p[56])} "
@@ -841,7 +854,7 @@ class SlamSystem:
                         self.map, merged_kf)
             self.map, kf_id = self._jit_insert(
                 self.map, frame, frame.Tcw, frame.kp_pt, spawn,
-                np.int32(self.frame_id))
+                np.int32(pend["fid"]))
             frame = frame._replace(kp_pt=self.map.kf_kp_pt[int(kf_id)])
             kf_gap = self.frames_since_kf
             self.last_kf_id = int(kf_id)

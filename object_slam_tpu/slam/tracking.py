@@ -369,7 +369,8 @@ def track_local_map(K, m: MapState, frame: FrameData, tr: TrackResult,
                     scale_factors, inv_sigma2_lvl, log_scale: float,
                     radius_th: float = 7.0,
                     view_cos_limit: float = 0.5, T_last=None,
-                    local_cap: int = MAX_LOCAL_POINTS):
+                    local_cap: int = MAX_LOCAL_POINTS,
+                    radius_mult: float = 1.0, level_window: int = 1):
     """SearchLocalPoints + pose re-optimization (Tracking.cc:1011-1056,
     :1408-1456). Returns (TrackResult, updated map visibility counters,
     ref_kf)."""
@@ -391,9 +392,11 @@ def track_local_map(K, m: MapState, frame: FrameData, tr: TrackResult,
 
     lvl = cam_mod.predict_scale_level(dist, m.pt_max_dist[local_pts],
                                       log_scale, scale_factors.shape[0])
-    # radius by viewing angle as the reference (2.5 if cos>0.998 else 4.0)
+    # radius by viewing angle as the reference (2.5 if cos>0.998 else 4.0);
+    # radius_mult/level_window widen the windows for outdoor looming
+    # (TrackingConfig.local_radius_mult rationale — parity at 1.0/1)
     r0 = jnp.where(view_cos > 0.998, 2.5, 4.0)
-    radius = r0 * scale_factors[lvl] * (radius_th / 7.0)
+    radius = r0 * scale_factors[lvl] * (radius_th / 7.0) * radius_mult
 
     ur_pred = uv[:, 0] - K.bf / jnp.maximum(z, 1e-6)
     kp_free = frame.valid & (tr.kp_pt < 0)
@@ -404,6 +407,7 @@ def track_local_map(K, m: MapState, frame: FrameData, tr: TrackResult,
         uv, lvl, m.pt_desc[local_pts], ok_search,
         frame.uv, frame.level, frame.desc, kp_free,
         radius_per_row=radius, th_dist=100, nn_ratio=0.9,
+        level_window=level_window,
         kp_ur=frame.ur, proj_ur=ur_pred, r_ur=radius)
 
     N = frame.uv.shape[0]
@@ -439,7 +443,10 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
                       scale_factors, inv_sigma2_lvl, log_scale: float,
                       motion_radius: float, close_depth: float,
                       max_frames_between_kf: int, obj_hooks=None,
-                      local_cap: int = MAX_LOCAL_POINTS):
+                      local_cap: int = MAX_LOCAL_POINTS,
+                      local_radius_mult: float = 1.0,
+                      local_level_window: int = 1,
+                      motion_rot_check: bool = True):
     """The whole per-frame tracking chain as ONE compiled program:
     motion-model (+ wide-window retry) -> reference-KF fallback ->
     [object association] -> local-map tracking -> pre-LOST retry ->
@@ -475,6 +482,10 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
       packed[52]    ref_kf           packed[53] n_close_tracked
       packed[54]    n_close_untracked  packed[55] motion n_inliers
       packed[56]    n_semantic_constraints (0 without obj_hooks)
+      packed[57]    need_kf with close/decay triggers suppressed — the
+                    host applies the min-gap gate with its CURRENT
+                    frames_since_kf (the on-device value is one frame
+                    stale under pipelined readback)
 
     Returns (m, TrackResult, obj3d, packed, vel, ok): vel and ok are
     DEVICE outputs so the host state machine advances with zero eager
@@ -484,17 +495,18 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
     """
     T_pred = velocity @ last.Tcw
     # --- stage A: motion model, wide-window retry on thin matches
+    motion_angle = last.angle if motion_rot_check else None
     tr = track_motion_model(
         K, m, frame, last.uv, last.kp_pt, last.level, last.valid,
         T_pred, scale_factors, inv_sigma2_lvl, radius_th=motion_radius,
-        T_last=last.Tcw, last_angle=last.angle)
+        T_last=last.Tcw, last_angle=motion_angle)
 
     def wide(_):
         return track_motion_model(
             K, m, frame, last.uv, last.kp_pt, last.level, last.valid,
             T_pred, scale_factors, inv_sigma2_lvl,
             radius_th=2.0 * motion_radius, T_last=last.Tcw,
-            last_angle=last.angle)
+            last_angle=motion_angle)
 
     tr = jax.lax.cond(tr.n_matches < 20, wide, lambda _: tr, None)
 
@@ -524,7 +536,8 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
     # --- stage C: local-map tracking
     tr2, m2, ref_kf = track_local_map(
         K, m, frame, tr, scale_factors, inv_sigma2_lvl, log_scale,
-        T_last=last.Tcw, local_cap=local_cap)
+        T_last=last.Tcw, local_cap=local_cap,
+        radius_mult=local_radius_mult, level_window=local_level_window)
 
     # --- stage D: pre-LOST retry through the reference KF
     def retry(_):
@@ -532,7 +545,9 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
                                    inv_sigma2_lvl)
         tr2b, m2b, refb = track_local_map(
             K, m, frame, tr_kf, scale_factors, inv_sigma2_lvl, log_scale,
-            T_last=last.Tcw, local_cap=local_cap)
+            T_last=last.Tcw, local_cap=local_cap,
+            radius_mult=local_radius_mult,
+            level_window=local_level_window)
         better = tr2b.n_inliers > tr2.n_inliers
         return (_tree_where(better, tr2b, tr2),
                 _tree_where(better, m2b, m2),
@@ -588,12 +603,26 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
                               >= min_obs)
                            & m.pt_valid[jnp.clip(ref_pt, 0, P - 1)])
                           .astype(jnp.int32))
-    # single source of truth shared with the host path (kf_decision;
-    # the decay trigger rationale lives in its docstring)
+    # single source of truth shared with the host path (kf_decision; the
+    # decay trigger rationale lives in its docstring). The min-gap gate
+    # CANNOT be applied here: frames_since_kf is the value at DISPATCH
+    # time, one frame stale in the pipelined mode — a KF inserted while
+    # this program was in flight is invisible, which is precisely the
+    # duplicate-insertion artifact the gate exists to stop. So pack TWO
+    # flags: the full decision (soft) and the decision with the
+    # close-budget/decay triggers suppressed (hard); the host resolver
+    # applies `hard | (soft & since >= min_gap)` with its CURRENT
+    # frames_since_kf (slam/system._resolve_one).
     need_kf = ok & kf_decision(
         tr2.n_inliers, ref_matches, n_close_trk, n_close_untrk,
         frames_since_kf, max_frames_between_kf,
-        sensor_is_mono=False, last_kf_inliers=last_kf_inliers)
+        sensor_is_mono=False, last_kf_inliers=last_kf_inliers,
+        min_gap=0)
+    need_kf_hard = ok & kf_decision(
+        tr2.n_inliers, ref_matches, n_close_trk, n_close_untrk,
+        frames_since_kf, max_frames_between_kf,
+        sensor_is_mono=False, last_kf_inliers=last_kf_inliers,
+        min_gap=10 ** 9)
 
     vel = tr2.Tcw @ se3.inverse(last.Tcw)
     Tcr = tr2.Tcw @ se3.inverse(m.kf_pose[jnp.clip(last_kf_id, 0,
@@ -607,7 +636,8 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
                    n_close_trk.astype(jnp.float32),
                    n_close_untrk.astype(jnp.float32),
                    tr_motion_inl.astype(jnp.float32),
-                   n_sem.astype(jnp.float32)])])
+                   n_sem.astype(jnp.float32),
+                   need_kf_hard.astype(jnp.float32)])])
     return m, tr2, obj3d_out, packed, vel, ok
 
 
@@ -618,7 +648,7 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
 def kf_decision(n_inliers, n_ref_matches, n_close_tracked,
                 n_close_untracked, frames_since_kf,
                 max_frames: int, sensor_is_mono: bool = False,
-                last_kf_inliers=0):
+                last_kf_inliers=0, min_gap: int = 0):
     """NeedNewKeyFrame (Tracking.cc:1242-1326), reduced to its decision
     variables: tracked-vs-reference ratio, close-point budget, frame gap,
     the c1c collapse trigger (:1296), plus the decay trigger vs the inlier
@@ -628,11 +658,29 @@ def kf_decision(n_inliers, n_ref_matches, n_close_tracked,
     program traces it with jnp scalars, the host path calls it with ints
     (need_new_keyframe) — round 2 carried two diverging copies (VERDICT
     item 6). Polymorphic: & | on bools works for both worlds.
+
+    min_gap — deviation from the reference, 0 (= parity) by default.
+    The pipelined fused program dispatches frame t+1 BEFORE frame t's
+    keyframe decision resolves on the host, so a new KF's spawned close
+    points are invisible to the very next frame's tracking: its
+    n_close_tracked measures the PRE-keyframe map, re-fires the close
+    budget, and inserts a near-duplicate KF (measured on the KITTI
+    drive: every close-budget KF at frame t was followed by another at
+    t+1 with close_trk ~50, recovering to >100 at t+2 once the spawned
+    points reached a dispatch; 42 KFs in 80 frames). The reference has
+    no such lag — its tracker matches against new points on the very
+    next frame (Tracking.cc:1352-1396 fills mvpMapPoints immediately and
+    LocalMapping runs concurrently). Gating the close-budget and decay
+    triggers on frames_since_kf >= min_gap (= the pipeline depth + 1)
+    suppresses only those lag-artifact duplicates; the collapse trigger
+    (inl < 0.25*ref) and the max-gap trigger stay ungated as emergency
+    paths.
     """
-    need_close = (n_close_tracked < 100) & (n_close_untracked > 70)
+    gap_ok = frames_since_kf >= min_gap
+    need_close = (n_close_tracked < 100) & (n_close_untracked > 70) & gap_ok
     ratio = 0.9 if sensor_is_mono else 0.75
     weak = n_inliers < n_ref_matches * ratio
-    decayed = n_inliers < 0.6 * last_kf_inliers
+    decayed = (n_inliers < 0.6 * last_kf_inliers) & gap_ok
     c1a = frames_since_kf >= max_frames
     # c1b (mapper idle) is implicitly true: mapping is synchronous or
     # merged by the next keyframe decision. c1c: tracking is collapsing
@@ -649,8 +697,8 @@ def kf_decision(n_inliers, n_ref_matches, n_close_tracked,
 def need_new_keyframe(n_inliers, n_ref_matches, n_close_tracked,
                       n_close_untracked, frames_since_kf,
                       max_frames: int, sensor_is_mono: bool = False,
-                      last_kf_inliers: int = 0):
+                      last_kf_inliers: int = 0, min_gap: int = 0):
     """Host-side wrapper of kf_decision (all args ints, returns bool)."""
     return bool(kf_decision(n_inliers, n_ref_matches, n_close_tracked,
                             n_close_untracked, frames_since_kf, max_frames,
-                            sensor_is_mono, last_kf_inliers))
+                            sensor_is_mono, last_kf_inliers, min_gap))
