@@ -762,8 +762,16 @@ class SlamSystem:
         except AttributeError:
             pass
         prev = self._fused_pending
+        # ref_kf: the id Tcr was computed against ON DEVICE. Pipelined
+        # resolve may insert a KF before this frame's record is written —
+        # recording the resolve-time last_kf_id against the dispatch-time
+        # Tcr corrupted every post-KF frame's final_trajectory pose by
+        # the full inter-KF displacement (~2.4 m at KITTI motion; the
+        # r5a drive read ATE 1.28 m from a trajectory whose true endpoint
+        # error was 0.3 m).
         self._fused_pending = {"packed": packed, "frame": frame,
-                               "ts": self._host_ts, "fid": self.frame_id}
+                               "ts": self._host_ts, "fid": self.frame_id,
+                               "ref": max(self.last_kf_id, 0)}
         self.last_frame = frame
         self.frame_id += 1
         # resolve the PREVIOUS frame only now — AFTER this frame's
@@ -881,18 +889,24 @@ class SlamSystem:
                 self._record_np(pend["ts"], Tcw_np, True)
             else:
                 # Tcr came back in the same packed readback — record with
-                # NO extra device traffic
+                # NO extra device traffic, against the DISPATCH-time ref
+                # (pend["ref"]), which is the KF the device composed
+                # Tcr with
                 self._record_precomputed(pend["ts"], Tcw_np,
-                                         p[32:48].reshape(4, 4), True)
+                                         p[32:48].reshape(4, 4), True,
+                                         ref_kf=pend.get("ref"))
         else:
             self._record_np(pend["ts"], Tcw_np, False)
         if latest:
             self.last_frame = frame
 
-    def _record_precomputed(self, timestamp, Tcw_np, Tcr_np, tracked):
+    def _record_precomputed(self, timestamp, Tcw_np, Tcr_np, tracked,
+                            ref_kf=None):
+        if ref_kf is None:
+            ref_kf = max(self.last_kf_id, 0)
         self.trajectory.append(FrameRecord(
             timestamp=float(timestamp), Tcw=Tcw_np,
-            ref_kf=max(self.last_kf_id, 0), Tcr=Tcr_np, tracked=tracked))
+            ref_kf=int(ref_kf), Tcr=Tcr_np, tracked=tracked))
 
     def _record_np(self, timestamp, Tcw_np, tracked):
         ref = max(self.last_kf_id, 0)
