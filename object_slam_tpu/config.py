@@ -330,10 +330,13 @@ class SlamConfig:
                               max_keyframes=1024, local_pt_cap=8192,
                               local_obs_per_kf=1024,
                               local_search_pts=8192)
-        # KITTI-rate forward motion inserts keyframes every 1-3 frames —
-        # the regime where the reference's tracker interrupts local BA
-        # (mbAbortBA) nearly every pass; see MappingConfig.ba_abort_*.
-        mapping = MappingConfig(ba_abort_pressure_gap=3)
+        # KITTI-rate forward motion inserts keyframes every 3-4 frames
+        # (r5 cadence) = 300-400 ms at 10 Hz, LESS than the full local-BA
+        # schedule (~450 ms measured, diag_kitti_stages) — the regime
+        # where the reference's tracker interrupts local BA (mbAbortBA)
+        # nearly every pass, so gap<5 routes to the abbreviated schedule;
+        # see MappingConfig.ba_abort_*.
+        mapping = MappingConfig(ba_abort_pressure_gap=5)
         # max gap = fps (Tracking.cc:266 mMaxFrames = fps; KITTI is 10 Hz);
         # min gap 2 suppresses the dispatch-lag duplicate KFs (see
         # tracking.kf_decision min_gap rationale — measured: 42 KFs/80

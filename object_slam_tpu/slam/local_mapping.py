@@ -17,8 +17,9 @@ import jax.numpy as jnp
 
 from object_slam_tpu.geometry import se3
 from object_slam_tpu.slam import map_ops
-from object_slam_tpu.slam.map_state import (MapState, covisibility,
-                                            recompute_point_stats)
+from object_slam_tpu.slam.map_state import (
+    MapState, covisibility, recompute_point_stats,
+    recompute_point_stats_windowed)
 from object_slam_tpu.solvers.ba import BAProblem, local_ba
 
 
@@ -265,9 +266,17 @@ def process_new_keyframe(K, m: MapState, kf_id, scale_factors,
         scale_factors=scale_factors, inv_sigma2_lvl=inv_sigma2_lvl,
         W_row=W_row)
     # distinctive-descriptor re-election + normal refresh after fusion
-    # (LocalMapping::SearchInNeighbors tail, LocalMapping.cc:540-552)
+    # (LocalMapping::SearchInNeighbors tail, LocalMapping.cc:540-552) —
+    # restricted to the covisibility window's points, which is the set
+    # the pass actually touched (the full-slab refresh cost 81 ms/KF at
+    # KITTI caps; see recompute_point_stats_windowed)
     if cfg.mapping.reelect_descriptors:
-        m = recompute_point_stats(m)
+        Kcap = m.kf_kp_pt.shape[0]
+        Wn = jnp.where(m.kf_valid & (jnp.arange(Kcap) != kf_id), W_row, -1)
+        _, stat_nbrs = jax.lax.top_k(Wn, min(15, Kcap))
+        kf_sel_stats = jnp.concatenate([kf_id[None], stat_nbrs])
+        m = recompute_point_stats_windowed(
+            m, kf_sel_stats, cap=cfg.caps.local_pt_cap)
     it1, it2 = ba_iters if ba_iters is not None else (5, 10)
     m = run_local_ba(m=m, K=K, kf_id=kf_id,
                      window=cfg.caps.local_window_kf, n_fixed=8,

@@ -253,6 +253,105 @@ def recompute_point_stats(m: MapState, max_observers: int = 8) -> MapState:
                       pt_n_obs=jnp.where(m.pt_valid, n_obs, 0))
 
 
+def recompute_point_stats_windowed(m: MapState, kf_sel, cap: int,
+                                   max_observers: int = 8) -> MapState:
+    """recompute_point_stats restricted to the points observed by the
+    `kf_sel` keyframe window, compacted to a [cap] slab.
+
+    The reference never refreshes every map point per keyframe: it calls
+    UpdateNormalAndDepth / ComputeDistinctiveDescriptors only on points
+    TOUCHED by the pass (triangulation, fuse — LocalMapping.cc:540-552,
+    MapPoint.cc), which is exactly the covisibility window's points. The
+    full-slab form cost 81 ms per mapping pass at KITTI capacities (23 ms
+    K*N observer scatter + ~53 ms [P,8,8] election/normal math for 65536
+    rows of which <15% were touched); this windowed form scatters from
+    the window's observations only and runs the election math at [cap].
+
+    Estimator deviation vs the full form: the observer residue sample for
+    a window point includes only its observers INSIDE kf_sel (outside
+    observers are invisible to this pass); with n_fixed anchors in
+    kf_sel the sample covers the same neighborhood the reference's
+    per-point observation list would. pt_n_obs IS refreshed from the
+    full observation structure (one scatter-add — leaving it to the
+    incremental bookkeeping overcounted after fuse/cull, inflated the
+    KF policy's ref_matches, and tripled the keyframe rate: 89 -> 188
+    KFs on the r5 KITTI drive).
+    """
+    Kcap, N = m.kf_kp_pt.shape
+    P = m.pt_xyz.shape[0]
+    Wsel = kf_sel.shape[0]
+    M = min(max_observers, Wsel)
+    L = min(cap, P)
+
+    sel_pt = m.kf_kp_pt[kf_sel]                          # [Wsel, N]
+    obs_mask = ((sel_pt >= 0) & m.kf_kp_valid[kf_sel]
+                & m.kf_valid[kf_sel][:, None])
+    ptc = jnp.where(obs_mask, sel_pt, P)
+
+    active = jnp.zeros((P + 1,), bool).at[ptc.reshape(-1)].max(
+        obs_mask.reshape(-1), mode='drop')[:P] & m.pt_valid
+    pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+    inl = active & (pos < L)
+    lidx = jnp.zeros((L + 1,), jnp.int32).at[
+        jnp.where(inl, pos, L)].set(jnp.arange(P, dtype=jnp.int32),
+                                    mode='drop')[:L]     # [L] point slot
+    l_ok = jnp.zeros((L + 1,), bool).at[
+        jnp.where(inl, pos, L)].set(True, mode='drop')[:L]
+    pmap = jnp.full((P + 1,), L, jnp.int32).at[
+        jnp.where(inl, jnp.arange(P), P)].set(pos, mode='drop')
+
+    lptc = pmap[ptc]                                     # [Wsel, N] in [0..L]
+    ww = jnp.arange(Wsel, dtype=jnp.int32)[:, None]
+    kf_glob = kf_sel.astype(jnp.int32)[:, None]
+    code = kf_glob * N + jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, :], (Wsel, N))
+    SENT = Kcap * N
+    table = jnp.full((L + 1, M), SENT, jnp.int32).at[
+        lptc.reshape(-1),
+        jnp.broadcast_to(kf_glob % M, (Wsel, N)).reshape(-1)].min(
+        code.reshape(-1), mode='drop')[:L]               # [L, M]
+    obs_ok = table < SENT
+    obs_kf = jnp.clip(table // N, 0, Kcap - 1)
+    kp_idx = table % N
+
+    desc = m.kf_kp_desc[obs_kf, jnp.clip(kp_idx, 0, N - 1)]  # [L, M, 8]
+    x = desc[:, :, None, :] ^ desc[:, None, :, :]
+    dist = jnp.sum(_popcount32(x), axis=-1).astype(jnp.int32)
+    pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
+    dist = jnp.where(pair_ok, dist, 9999)
+    ds = jnp.sort(dist, axis=-1)
+    n_valid = jnp.sum(obs_ok, axis=-1)
+    med_idx = jnp.clip((n_valid - 1) // 2, 0, M - 1)
+    med = jnp.take_along_axis(
+        ds, jnp.broadcast_to(med_idx[:, None, None], (L, M, 1)), -1)[..., 0]
+    med = jnp.where(obs_ok, med, 10000)
+    best = jnp.argmin(med, axis=-1)
+    new_desc = jnp.take_along_axis(
+        desc, best[:, None, None].repeat(desc.shape[-1], -1), 1)[:, 0]
+
+    C = camera_centers(m)
+    pw = m.pt_xyz[lidx]                                  # [L, 3]
+    d = pw[:, None, :] - C[obs_kf]
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    normal = jnp.sum(jnp.where(obs_ok[..., None], dn, 0.0), axis=1)
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.maximum(nn, 1e-9)
+
+    use = l_ok & (n_valid > 0)
+    pt_desc = m.pt_desc.at[lidx].set(
+        jnp.where(use[:, None], new_desc, m.pt_desc[lidx]))
+    pt_normal = m.pt_normal.at[lidx].set(
+        jnp.where(use[:, None], normal, m.pt_normal[lidx]))
+
+    # exact observation count over ALL keyframes (one scatter-add)
+    all_mask = (m.kf_kp_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    all_ptc = jnp.where(all_mask, m.kf_kp_pt, P)
+    n_obs = jnp.zeros((P + 1,), jnp.int32).at[all_ptc.reshape(-1)].add(
+        all_mask.reshape(-1).astype(jnp.int32), mode='drop')[:P]
+    return m._replace(pt_desc=pt_desc, pt_normal=pt_normal,
+                      pt_n_obs=jnp.where(m.pt_valid, n_obs, 0))
+
+
 def _popcount32(x):
     return jax.lax.population_count(x)
 

@@ -44,7 +44,7 @@ def main():
            jnp.int32(500))
     spawn = frame.valid & (frame.depth > 0)
     timeit("insert", sys_._jit_insert, m, frame, frame.Tcw, frame.kp_pt,
-           spawn)
+           spawn, np.int32(11))
     timeit("mapping", sys_._jit_mapping, m, jnp.int32(max(sys_.last_kf_id, 0)))
     from object_slam_tpu.slam import local_mapping, map_ops
     from object_slam_tpu.slam.map_state import covisibility, recompute_point_stats
