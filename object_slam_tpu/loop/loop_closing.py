@@ -19,6 +19,7 @@ the reference's mvConsistentGroups.
 from __future__ import annotations
 
 import os
+import time
 from typing import List, Optional, Tuple
 
 import jax
@@ -397,10 +398,18 @@ class LoopCloser:
 
         # --- ComputeSim3 on the consistent candidates
         for loop_kf in enough:
+            t_att = time.perf_counter()
             ok, T12, s12, n_inl = self._compute_sim3(m, kf_id, loop_kf)
             if ok:
+                n_ev = len(self.events)
                 m, accepted = self._correct_loop(m, kf_id, loop_kf,
                                                  T12, s12)
+                if len(self.events) > n_ev:
+                    # wall cost of the whole attempt (Sim3 + gate path) —
+                    # the pre-gate's value claim ("rejected closures cost
+                    # <10% of accepted") is validated from this field
+                    self.events[-1]["wall_ms"] = round(
+                        (time.perf_counter() - t_att) * 1e3, 1)
                 # cooldown fires either way: a rejected closure means the
                 # map is already consistent here — re-detecting (and re-
                 # running speculative correction) every keyframe is pure

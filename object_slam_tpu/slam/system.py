@@ -165,7 +165,9 @@ class _SystemKernels:
         # + UpdateCurrentObject inline in Track(); Tracking.cc:453-545)
         hooks = None
         if self.objects is not None:
-            hooks = (self.objects.assoc_impl, self.objects.semopt_impl,
+            hooks = (self.objects.assoc_impl,
+                     self.objects.semopt_impl
+                     if cfg.objects.semopt_enabled else None,
                      self.objects.update_impl)
         return trk.track_frame_fused(
             self.K, m, frame, last, velocity, last_kf_id, frames_since_kf,

@@ -562,7 +562,7 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
     # (the PoseOptimization2 swap-in, Tracking.cc:1011-1022) — only when
     # a detection matched a map object; XLA executes one branch.
     n_sem = jnp.int32(0)
-    if obj_hooks is not None:
+    if obj_hooks is not None and semopt_fn is not None:
         def do_sem(tr_in):
             Tcw, kp_pt, inl, ns = semopt_fn(m, frame, tr_in)
             return tr_in._replace(

@@ -128,6 +128,23 @@ def run_kitti(kitti_dir, max_frames=0, async_mapping=False):
     # reference's LocalMapping runs on its own thread (System.cc:95), and
     # KITTI-rate keyframe insertion is the regime where that overlap (and
     # the bounded merge lag) actually matters.
+    # untimed compile prewarm on a scratch system (kernels shared
+    # per-config) — same contract as scripts/run_kitti.py --prewarm
+    scratch = SlamSystem(cfg, enable_objects=True,
+                         async_mapping=async_mapping)
+    for i, fr in enumerate(frames[:12]):
+        gl = np.asarray(Image.open(fr.left_path), np.uint8)
+        gr = np.asarray(Image.open(fr.right_path), np.uint8)
+        scratch.track_stereo(jnp.asarray(gl), jnp.asarray(gr), None,
+                             kitti.load_semantics(sem_dir, fr.index, cfg),
+                             timestamp=fr.timestamp)
+    kfi = np.int32(max(scratch.last_kf_id, 0))
+    import jax as _jax
+    _jax.block_until_ready(scratch._jit_mapping(scratch.map, kfi).n_pt)
+    _jax.block_until_ready(scratch._jit_mapping_fast(scratch.map, kfi).n_pt)
+    scratch.flush_mapping()
+    del scratch
+
     sys_ = SlamSystem(cfg, enable_objects=True, async_mapping=async_mapping)
     t0 = time.perf_counter()
     times = []
@@ -189,25 +206,48 @@ def main():
     if args.tum and os.path.isdir(args.tum):
         metas, frames = load_tum_frames(args.tum, cfg, args.max_frames)
         print(f"tum: {len(frames)} frames loaded", flush=True)
-        for name, kw in [
+        import dataclasses as _dc
+        cfg_semoff = cfg.replace(objects=_dc.replace(
+            cfg.objects, semopt_enabled=False))
+        # untimed compile prewarm per distinct program set (VERDICT r4
+        # weak 4: t200_a recorded 0.94 fps vs t200_b 13.48 for identical
+        # runs — the first variant paid every compile; kernels are shared
+        # per-config, so a 12-frame throwaway run warms each set)
+        for wcfg, wkw in [(cfg, dict(enable_objects=True)),
+                          (cfg, dict(enable_objects=False)),
+                          (cfg_semoff, dict(enable_objects=True)),
+                          (cfg, dict(enable_objects=True,
+                                     enable_loop=True))]:
+            run_tum_variant(args.tum, wcfg, frames[:12], metas[:12], **wkw)
+        print("tum: prewarm done", flush=True)
+        for name, vcfg, kw in [
                 # determinism pair (identical inputs, sync, objects on)
-                ("t200_a", dict(enable_objects=True, async_mapping=False)),
-                ("t200_b", dict(enable_objects=True, async_mapping=False)),
+                ("t200_a", cfg,
+                 dict(enable_objects=True, async_mapping=False)),
+                ("t200_b", cfg,
+                 dict(enable_objects=True, async_mapping=False)),
                 # the objects A/B (sync both sides)
-                ("t200_noobj_sync", dict(enable_objects=False,
-                                         async_mapping=False)),
+                ("t200_noobj_sync", cfg,
+                 dict(enable_objects=False, async_mapping=False)),
+                # 3-way ablation middle arm: full object pipeline WITHOUT
+                # the semantic pose refinement — isolates the
+                # ObjectOptimizer.cc:624 mechanism from the pipeline's
+                # KF-policy/retention side effects (VERDICT r4 item 5)
+                ("t200_semopt_off", cfg_semoff,
+                 dict(enable_objects=True, async_mapping=False)),
                 # the async-mapping A/B side
-                ("t200_async", dict(enable_objects=True,
-                                    async_mapping=True)),
+                ("t200_async", cfg,
+                 dict(enable_objects=True, async_mapping=True)),
                 # loop module on the low-drift circuit (gate should
                 # reject or be ATE-neutral)
-                ("t200_loop", dict(enable_objects=True, async_mapping=False,
-                                   enable_loop=True)),
+                ("t200_loop", cfg,
+                 dict(enable_objects=True, async_mapping=False,
+                      enable_loop=True)),
         ]:
             if name in skip:
                 continue
             t0 = time.perf_counter()
-            out[name] = run_tum_variant(args.tum, cfg, frames, metas, **kw)
+            out[name] = run_tum_variant(args.tum, vcfg, frames, metas, **kw)
             print(name, json.dumps(out[name])[:300],
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
             with open(args.out, "w") as f:
