@@ -226,6 +226,20 @@ class LoopConfig:
     # _correct_loop), so large genuine corrections on short loops pass.
     max_edge_bend_deg: float = 0.3
     max_edge_bend_frac: float = 0.05
+    # ABSOLUTE pre-gate caps on the PREDICTED per-edge bend (correction
+    # spread over the q..l chain). The relative pre-gate (4x the scaled
+    # budget) only catches short-chain candidates; an aliased-corridor
+    # candidate claiming a ~6-unit correction over the whole chain slips
+    # it, and its speculative GBA then runs the full non-converging
+    # schedule (~21 s vs ~1.4 s for a genuine closure — measured,
+    # scripts/diag_loop_alias.py r5). A true closure's per-edge
+    # correction is bounded by plausible per-edge odometry drift; a
+    # prediction that bends the MEDIAN edge by half its length (or 5
+    # deg) per edge claims 50%-per-step odometry error — reject before
+    # paying the correction. (The r5 positive-circuit closure predicts
+    # <0.1% per edge; the four corridor aliases predict 70-610%.)
+    pregate_bend_frac_abs: float = 0.5
+    pregate_bend_deg_abs: float = 5.0
 
 
 @dataclass(frozen=True)

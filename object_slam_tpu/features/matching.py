@@ -22,7 +22,15 @@ BIG = jnp.int32(1 << 15)
 
 
 def hamming_matrix(desc_a, desc_b):
-    """[M, 8] u32 x [N, 8] u32 -> [M, N] int32 Hamming distances."""
+    """[M, 8] u32 x [N, 8] u32 -> [M, N] int32 Hamming distances.
+
+    Deliberately the plain XLA form: a hand-tiled Pallas kernel of this
+    op measured 2.7 ms vs XLA's 0.84 ms at [4096, 1024] on v5e — XLA
+    keeps XOR+popcount+reduce fused without materializing [M, N, 8],
+    and Mosaic tiles the 8-wide minor dimension poorly (r4 measurement;
+    the scaffold kernel was removed in r5 — a fused distance+top-2
+    kernel would save only the [M, N] HBM round trip, <2% of the frame
+    program)."""
     x = desc_a[:, None, :] ^ desc_b[None, :, :]
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 

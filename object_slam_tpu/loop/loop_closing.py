@@ -537,8 +537,16 @@ class LoopCloser:
         chain_edges = max(abs(int(q) - int(l)), 1)
         pred_bend_deg = corr_rot_deg / chain_edges
         pred_bend_frac = (corr_trans / chain_edges) / med_edge
+        # two pre-gate forms: relative (4x the correction-scaled budget —
+        # catches short-chain candidates) and ABSOLUTE (a prediction
+        # bending the median edge by >pregate_bend_frac_abs of its length
+        # per edge claims implausible per-step odometry error — catches
+        # whole-chain aliases whose scaled budget grew with their own
+        # claimed correction; see LoopConfig.pregate_* rationale)
         if (pred_bend_deg > 4.0 * budget_deg
-                or pred_bend_frac > 4.0 * budget_frac):
+                or pred_bend_frac > 4.0 * budget_frac
+                or pred_bend_deg > self.cfg.loop.pregate_bend_deg_abs
+                or pred_bend_frac > self.cfg.loop.pregate_bend_frac_abs):
             self.events.append(dict(
                 q=int(q), l=int(l), s12=float(s12),
                 corr_trans=corr_trans, corr_rot_deg=corr_rot_deg,
