@@ -14,7 +14,8 @@ import pytest
 
 from object_slam_tpu.config import (SlamConfig, OrbConfig, CapacityConfig,
                                     CameraConfig, SemanticConfig)
-from object_slam_tpu.datasets.synthetic import SyntheticScene, orbit_poses
+from object_slam_tpu.datasets.synthetic import (SyntheticScene, orbit_poses,
+                                                degrade_masks)
 from object_slam_tpu.slam.system import SlamSystem
 from object_slam_tpu.eval import trajectory_io
 
@@ -111,39 +112,6 @@ class TestObjectCensusDensity:
         text = p.read_text()
         assert f"total: {total}" in text
         assert sys_.objects.semantic_constraints > 0
-
-
-def degrade_masks(M, V, rng, shift=2, hole_frac=0.02, block=8):
-    """YOLACT-raggedness proxy for the exact synthetic masks: block-wise
-    random boundary erosion/dilation (+-`shift` px) + salt holes. Real
-    instance masks have ragged, breathing boundaries; the exact renderer
-    masks are the best case for every interior-margin and 10 px
-    M_semantic gate (ObjectOptimizer.cc:1000) — this is the measured
-    worst-ish case (VERDICT r3 weak 8). Returns (masks, recomputed
-    bboxes) so the bbox stays consistent with the noisy mask."""
-    I, H, W = M.shape
-    out = np.zeros_like(M)
-    bboxes = np.zeros((I, 4), np.float32)
-    for i in range(I):
-        m = M[i]
-        if not V[i] or not m.any():
-            out[i] = m
-            continue
-        er = m.copy()
-        di = m.copy()
-        for ax, s in ((0, shift), (0, -shift), (1, shift), (1, -shift)):
-            er &= np.roll(m, s, ax)
-            di |= np.roll(m, s, ax)
-        sel = rng.rand(H // block + 1, W // block + 1)
-        sel = np.kron(sel, np.ones((block, block)))[:H, :W]
-        n = np.where(sel < 0.33, er, np.where(sel > 0.66, di, m))
-        n &= ~(rng.rand(H, W) < hole_frac)
-        out[i] = n
-        ys, xs = np.nonzero(n)
-        if len(xs):
-            bboxes[i] = [xs.min(), ys.min(),
-                         xs.max() - xs.min() + 1, ys.max() - ys.min() + 1]
-    return out, bboxes
 
 
 @pytest.mark.slow
