@@ -188,8 +188,18 @@ class SolverConfig:
     pose_graph_iters: int = 20
     lm_lambda_init: float = 1e-4
     lm_lambda_factor: float = 10.0
-    # semantic optimizer (ObjectOptimizer.cc:624-1240)
-    sem_reproj_gate_px: float = 10.0     # M_semantic inclusion gate
+    # semantic optimizer (ObjectOptimizer.cc:624-1240).
+    # The reference gates M_semantic on `distance[0] < 10` from a PCL
+    # nearestKSearch — PCL returns SQUARED distances, so the effective
+    # reach is sqrt(10) ~= 3.16 px, not 10 (ObjectOptimizer.cc:1005,
+    # :960/:1071 use the same squared value for outlier removal). Round 1-4
+    # read it as 10 Euclidean px: 3x the reach and ~10x the typical pull
+    # of the reference's constraint — measured r5 as the semantic
+    # refinement DAMAGING the exact-mask circuit (boundary members pulled
+    # inward; ATE 29 -> 180 mm; results/experiments_r5.json before this
+    # fix). sem_min_shift_px: the `< 1.0` creation gate is 1 px under
+    # either reading.
+    sem_reproj_gate_px: float = 3.1623   # M_semantic gate: sqrt(10) px
     sem_min_shift_px: float = 1.0        # skip M_joint edge if <1px from mask
     # RANSAC
     ransac_trials: int = 256             # batched hypotheses (vmap)

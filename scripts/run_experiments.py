@@ -146,25 +146,42 @@ def run_kitti(kitti_dir, max_frames=0, async_mapping=False):
     del scratch
 
     sys_ = SlamSystem(cfg, enable_objects=True, async_mapping=async_mapping)
+
+    # decode + device-transfer prefetch one frame ahead (same loop shape
+    # as scripts/run_kitti.py — inline PIL decode + sync transfer cost
+    # ~0.4 fps of pure IO on the battery's wall clock)
+    from object_slam_tpu.native.loader import FramePrefetcher
+    import jax as _jax
+    pf = FramePrefetcher(n_workers=4, capacity=6)
+    for i, fr in enumerate(frames):
+        pf.submit(2 * i, fr.left_path)
+        pf.submit(2 * i + 1, fr.right_path)
+
+    def fetch(i):
+        gl, _, _ = pf.get(2 * i)
+        gr, _, _ = pf.get(2 * i + 1)
+        sa = kitti.load_semantics(sem_dir, frames[i].index, cfg)
+        return (_jax.device_put(gl.astype(np.uint8)),
+                _jax.device_put(gr.astype(np.uint8)), sa)
+
     t0 = time.perf_counter()
     times = []
+    nxt = fetch(0)
     for i, fr in enumerate(frames):
-        gl = np.asarray(Image.open(fr.left_path), np.uint8)
-        gr = np.asarray(Image.open(fr.right_path), np.uint8)
-        sa = kitti.load_semantics(sem_dir, fr.index, cfg)
+        gl_d, gr_d, sa = nxt
+        if i + 1 < len(frames):
+            nxt = fetch(i + 1)
         tf0 = time.perf_counter()
-        f = sys_.track_stereo(jnp.asarray(gl), jnp.asarray(gr),
-                              None, sa, timestamp=fr.timestamp)
+        f = sys_.track_stereo(gl_d, gr_d, None, sa,
+                              timestamp=fr.timestamp)
         times.append(time.perf_counter() - tf0)
-        if i % 10 == 0:
-            Twc = np.linalg.inv(np.asarray(f.Tcw))
-            err = (np.linalg.norm(Twc[:3, 3] - gt[i][:3, 3])
-                   if i < len(gt) else -1.0)
-            print(f"kitti f={i:3d} inl={getattr(sys_, '_last_n_inliers', -1):4d} "
-                  f"err={err:8.3f} kfs={sys_.n_keyframes} "
-                  f"det={int(np.asarray(f.obj.valid).sum())} "
-                  f"obj3d={np.asarray(f.obj3d)[:3].tolist()}", flush=True)
+        # no per-frame device reads in the measured loop: np.asarray(Tcw)
+        # / n_keyframes force a strict resolve (an RTT) and perturb the
+        # async-merge timing; diagnostics live in scripts/run_kitti.py
+        if i % 50 == 0:
+            print(f"kitti f={i}", flush=True)
     total = time.perf_counter() - t0
+    pf.close()
 
     traj = sys_.final_trajectory()
     est = np.array([np.linalg.inv(T)[:3, 3] for _, T, _ in traj])
