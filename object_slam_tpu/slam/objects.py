@@ -528,12 +528,16 @@ class ObjectEngine:
         sem_active0 = s_semantic & (z0 > 0) & (d0 <= cfg.sem_reproj_gate_px)
         joint_active0 = s_joint & (z0 > 0) & (d0 > cfg.sem_min_shift_px)
 
-        def gn_round(carry, _):
+        def gn_round(carry, round_idx):
             T, sem_active, joint_active, n_used = carry
             uvp, zp = project(T, s_pw)
             tgt, dist = nearest(uvp)
-            active = ((sem_active | joint_active) & (zp > 0)
-                      & (dist <= cfg.sem_reproj_gate_px))
+            # M_joint edges pull only in ROUND 1: the reference re-sets
+            # their measurement to the point's own projection after the
+            # first optimize() (ObjectOptimizer.cc:968 new_obs = p, the
+            # fetched mask pixel unused) — zero residual thereafter
+            active = ((sem_active | (joint_active & (round_idx == 0)))
+                      & (zp > 0) & (dist <= cfg.sem_reproj_gate_px))
             n_used = jnp.sum(active.astype(jnp.int32))
 
             def gn_iter(_, Tc):
@@ -547,10 +551,16 @@ class ObjectEngine:
                 H = jnp.einsum('nij,nik->jk', Jw, Jb)
                 b = -jnp.einsum('nij,ni->j', Jw, r)   # GN: H dx = -J^T W e
 
-                # semantic edges: e = tgt - proj(p)
+                # semantic edges: e = tgt - proj(p), with the ROUND-FIXED
+                # target `tgt` — g2o edge measurements are constant within
+                # one optimize() call and re-set only between rounds
+                # (ObjectOptimizer.cc:921-1160). The r1-r4 form re-ran
+                # the nearest-pixel query INSIDE every GN iteration: a
+                # boundary-following attraction flow ~10x beyond the
+                # reference's bounded per-round pull, measured r5 as a
+                # systematic mask-ward pose bias on exact masks.
                 uvs, zs = project(Tc, s_pw)
-                tgts, dists = nearest(uvs)
-                es = tgts - uvs
+                es = tgt - uvs
                 pc = se3.apply(Tc, s_pw[None])[0]
                 x, y = pc[:, 0], pc[:, 1]
                 zz = jnp.maximum(pc[:, 2], 1e-6)
@@ -585,7 +595,7 @@ class ObjectEngine:
 
         (Tcw, _, _, n_sem), _ = jax.lax.scan(
             gn_round, (res.Tcw, sem_active0, joint_active0, jnp.int32(0)),
-            None, length=4)
+            jnp.arange(4))
 
         # final chi2 gate on standard edges
         r, _, stereo, z = reproj_residual_jac(self.K, Tcw, obs)

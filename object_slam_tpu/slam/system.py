@@ -179,7 +179,8 @@ class _SystemKernels:
             obj_hooks=hooks, local_cap=cfg.caps.local_search_pts,
             local_radius_mult=cfg.tracking.local_radius_mult,
             local_level_window=cfg.tracking.local_level_window,
-            motion_rot_check=cfg.tracking.motion_rot_check)
+            motion_rot_check=cfg.tracking.motion_rot_check,
+            semopt_adopt=os.environ.get("OSLAM_SEMOPT_ADOPT", "full"))
 
 
 @dataclass
@@ -719,6 +720,9 @@ class SlamSystem:
                                 self.map, int(kf_id))
             else:
                 self.frames_since_kf += 1
+                # peak-anchored decay (see _resolve_one)
+                self._kf_inliers = max(getattr(self, "_kf_inliers", 0),
+                                       n_inl)
 
         self._record(frame, ok)
         self.last_frame = frame
@@ -885,6 +889,14 @@ class SlamSystem:
             self._record_np(pend["ts"], Tcw_np, True)
         elif ok:
             self.frames_since_kf += 1
+            # the decay trigger anchors to the PEAK inlier count since
+            # the last insertion, not the count AT insertion: a keyframe
+            # born at a weak moment (58 inliers) otherwise anchors the
+            # 0.6x decay threshold at 35 and lets a coverage-exit
+            # freefall (measured r5: 583 -> 64 inliers over 18 frames on
+            # the TUM circuit pan) run unanswered until the weak-ratio
+            # trigger's stale reference finally fires
+            self._kf_inliers = max(getattr(self, "_kf_inliers", 0), n_inl)
             if relocalized:
                 # the packed Tcr belongs to the FAILED fused attempt;
                 # recompute from the reloc pose (ADVICE r3)

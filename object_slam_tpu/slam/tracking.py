@@ -446,7 +446,8 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
                       local_cap: int = MAX_LOCAL_POINTS,
                       local_radius_mult: float = 1.0,
                       local_level_window: int = 1,
-                      motion_rot_check: bool = True):
+                      motion_rot_check: bool = True,
+                      semopt_adopt: str = "full"):
     """The whole per-frame tracking chain as ONE compiled program:
     motion-model (+ wide-window retry) -> reference-KF fallback ->
     [object association] -> local-map tracking -> pre-LOST retry ->
@@ -565,6 +566,10 @@ def track_frame_fused(K, m: MapState, frame: FrameData, last: FrameData,
     if obj_hooks is not None and semopt_fn is not None:
         def do_sem(tr_in):
             Tcw, kp_pt, inl, ns = semopt_fn(m, frame, tr_in)
+            if semopt_adopt == "none":        # diagnostic: count only
+                return tr_in, ns
+            if semopt_adopt == "pose":        # diagnostic: pose, no regate
+                return tr_in._replace(Tcw=Tcw), ns
             return tr_in._replace(
                 Tcw=Tcw, kp_pt=kp_pt, inlier=inl,
                 n_inliers=jnp.sum((kp_pt >= 0).astype(jnp.int32))), ns
