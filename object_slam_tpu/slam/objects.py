@@ -540,13 +540,25 @@ class ObjectEngine:
                       & (zp > 0) & (dist <= cfg.sem_reproj_gate_px))
             n_used = jnp.sum(active.astype(jnp.int32))
 
+            # per-round STANDARD-edge reclassification at the round-start
+            # pose — the reference setLevel(1)s chi2 outliers between its
+            # optimize() calls and re-includes edges that pass again
+            # (ObjectOptimizer.cc round loop, same as PoseOptimization);
+            # rounds after the first otherwise keep dragging mismatched
+            # edges at huber weight
+            r0, _, stereo0, z0r = reproj_residual_jac(self.K, T, obs)
+            chi20 = edge_chi2(r0, obs.inv_sigma2, stereo0)
+            gate0 = jnp.where(stereo0, cfg.chi2_stereo, cfg.chi2_mono)
+            std_active = (obs.valid & (z0r > 0)
+                          & ((chi20 <= gate0) | (round_idx == 0)))
+
             def gn_iter(_, Tc):
                 # standard edges
                 r, Jb, stereo, z = reproj_residual_jac(self.K, Tc, obs)
                 chi2 = edge_chi2(r, obs.inv_sigma2, stereo)
                 delta2 = jnp.where(stereo, cfg.chi2_stereo, cfg.chi2_mono)
                 w = huber_weight(chi2, delta2) * obs.inv_sigma2
-                w = jnp.where(obs.valid & (z > 0), w, 0.0)
+                w = jnp.where(std_active & (z > 0), w, 0.0)
                 Jw = Jb * w[..., None, None]
                 H = jnp.einsum('nij,nik->jk', Jw, Jb)
                 b = -jnp.einsum('nij,ni->j', Jw, r)   # GN: H dx = -J^T W e
