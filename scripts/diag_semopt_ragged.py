@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--shift", type=int, default=2)
+    ap.add_argument("--holes", type=float, default=0.0,
+                    help="salt-hole fraction; default 0 — interior salt "
+                         "annihilates the 20x20 erosion membership gate "
+                         "(0 objects), which is not how YOLACT masks fail")
     ap.add_argument("--platform", default=None, choices=["cpu", "axon"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -66,7 +70,7 @@ def main():
         packed, labels, probs, bboxes, valid = sem
         M = np.asarray(unpack_mask_bits(packed, cfg.camera.width))
         Mn, Bn = degrade_masks(M, np.asarray(valid), rng,
-                               shift=args.shift)
+                               shift=args.shift, hole_frac=args.holes)
         n_deg += int(np.asarray(valid).sum())
         ragged.append((rgb8, d16, (pack_mask_bits(Mn), labels, probs,
                                    np.asarray(Bn, np.float32), valid)))
