@@ -572,4 +572,9 @@ def fuse_into_neighbors(m: MapState, kf_id, n_neighbors: int, K,
     m, fwd_tot = jax.lax.fori_loop(
         0, n_neighbors, body, (m, jnp.arange(P, dtype=jnp.int32)))
     replaced = (fwd_tot != jnp.arange(P)) & m.pt_valid
-    return apply_replacements(m, fwd_tot, replaced)
+    # the [K, N] binding rewrite is a 2M-element random gather (~44 ms at
+    # KITTI caps) — skip it entirely on passes with zero replacements
+    return jax.lax.cond(
+        jnp.any(replaced),
+        lambda mm: apply_replacements(mm, fwd_tot, replaced),
+        lambda mm: mm, m)
